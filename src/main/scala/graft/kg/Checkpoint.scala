@@ -1,0 +1,57 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-partition checkpoint manifest (SURVEY.md §2 A13–A14).
+  *
+  * The unit of work is `part_id = pmod(xxhash64(url), P)`. A part is committed
+  * by appending a manifest row AFTER its partial-triples partition directory
+  * is fully written; resume recomputes only part_ids absent from the manifest
+  * (left-anti semantics). Partial writes of a crashed part are safe because
+  * partial output is written with dynamic partition overwrite — a rerun
+  * replaces exactly the partitions it recomputes, making commits idempotent.
+  * Manifest rows double as per-partition lineage: input pages, distinct
+  * triples, evidence mentions, an order-independent checksum, and wall time.
+  */
+object Checkpoint {
+  final case class ManifestRow(
+      part_id: Int, status: String, n_pages: Long, n_triples: Long,
+      n_evidence: Long, checksum: Long, wall_ms: Long)
+
+  def manifestPath(outDir: String) = s"$outDir/_manifest"
+
+  def committedParts(spark: SparkSession, outDir: String): Set[Int] = {
+    val p = new java.io.File(manifestPath(outDir))
+    if (!p.exists()) Set.empty
+    else {
+      import spark.implicits._
+      spark.read.parquet(manifestPath(outDir))
+        .filter(col("status") === "done")
+        .select($"part_id").as[Int].collect().toSet
+    }
+  }
+
+  def commit(spark: SparkSession, outDir: String, rows: Seq[ManifestRow]): Unit = {
+    import spark.implicits._
+    if (rows.nonEmpty)
+      rows.toDF().coalesce(1).write.mode(SaveMode.Append).parquet(manifestPath(outDir))
+  }
+
+  /** Per-part lineage stats from a partial-triples frame (one pass). */
+  def partStats(partials: DataFrame, pagesPerPart: DataFrame, wallMs: Long): Seq[ManifestRow] = {
+    val stats = partials
+      .groupBy(col("part_id"))
+      .agg(count(lit(1)).as("n_triples"), sum(col("n")).as("n_evidence"),
+        // xor-fold: order-independent, overflow-free content checksum
+        bit_xor(xxhash64(col("subj"), col("pred"), col("obj"), col("n"))).as("checksum"))
+      .join(pagesPerPart, Seq("part_id"), "full_outer")
+    stats.na.fill(0L, Seq("n_triples", "n_evidence", "checksum", "n_pages"))
+      .collect()
+      .map(r => ManifestRow(
+        r.getAs[Int]("part_id"), "done", r.getAs[Long]("n_pages"),
+        r.getAs[Long]("n_triples"), r.getAs[Long]("n_evidence"),
+        r.getAs[Long]("checksum"), wallMs))
+      .toSeq
+  }
+}

@@ -1,0 +1,124 @@
+package graft.kg
+
+import graft.text.TextModel
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
+
+/** Broadcast model state: entity dictionary + per-predicate dense weight
+  * vectors (SURVEY.md §4.2.3 — a dense 2^18-slot vector per predicate, ~2 MB
+  * each, broadcast once; scoring is a local dot product, never a join).
+  */
+final class KgModel(
+    val uni: Map[String, DictEntry],
+    val bi: Map[String, DictEntry],
+    val preds: IndexedSeq[Predicate],
+    val weights: Array[Array[Double]], // [predIdx][featureId]
+    val tau: Double) extends Serializable {
+
+  /** Greedy longest-match dictionary scan over lowercase tokens (pinned
+    * semantics, SURVEY.md §2 A6): at each position prefer the 2-gram match,
+    * consume matched tokens, advance. The broadcast-join implementation in
+    * MentionJoin reproduces exactly this via sorted greedy selection
+    * (MentionEquivalenceSpec asserts equality). */
+  def scanMentions(tokens: IndexedSeq[String]): IndexedSeq[Mention] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Mention]
+    val n = tokens.length
+    var i = 0
+    while (i < n) {
+      var matched = false
+      if (i + 1 < n) {
+        val e = bi.getOrElse(tokens(i) + " " + tokens(i + 1), null)
+        if (e != null) {
+          out += Mention(e.entityId, e.canonical, e.entType, i, i + 2)
+          i += 2; matched = true
+        }
+      }
+      if (!matched) {
+        val e = uni.getOrElse(tokens(i), null)
+        if (e != null) {
+          out += Mention(e.entityId, e.canonical, e.entType, i, i + 1)
+          i += 1; matched = true
+        }
+      }
+      if (!matched) i += 1
+    }
+    out.toIndexedSeq
+  }
+
+  /** Score every ordered, span-disjoint mention pair; emit the argmax
+    * predicate when its score clears tau (ties broken by predicate order —
+    * deterministic). One relation max per ordered pair. */
+  def scoreRelations(tokens: IndexedSeq[String], ms: IndexedSeq[Mention]): Seq[ScoredRelation] = {
+    if (ms.length < 2) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[ScoredRelation]
+    var a = 0
+    while (a < ms.length) {
+      var b = 0
+      while (b < ms.length) {
+        if (a != b) {
+          val m1 = ms(a); val m2 = ms(b)
+          val disjoint = m1.end <= m2.begin || m2.end <= m1.begin
+          if (disjoint && m1.entityId != m2.entityId) {
+            val fids = Featurize.ids(tokens, m1, m2)
+            var bestIdx = -1
+            var bestScore = Double.NegativeInfinity
+            var p = 0
+            while (p < preds.length) {
+              val pd = preds(p)
+              if (pd.subjType == m1.entType && pd.objType == m2.entType) {
+                val w = weights(p)
+                var s = 0.0
+                var k = 0
+                while (k < fids.length) { s += w(fids(k).toInt); k += 1 }
+                if (s > bestScore) { bestScore = s; bestIdx = p }
+              }
+              p += 1
+            }
+            if (bestIdx >= 0 && bestScore >= tau)
+              out += ScoredRelation(m1.canonical, preds(bestIdx).pred, m2.canonical, bestScore)
+          }
+        }
+        b += 1
+      }
+      a += 1
+    }
+    out.toSeq
+  }
+}
+
+object KgModel {
+  /** Load dictionary + weights + meta from fixture parquet and broadcast. */
+  def load(spark: SparkSession, fixturesDir: String): Broadcast[KgModel] = {
+    import spark.implicits._
+    val dict = spark.read.parquet(s"$fixturesDir/entity_dict.parquet")
+      .select($"surface", $"entity_id", $"ent_type", $"canonical", $"prior")
+      .as[(String, Long, String, String, Double)].collect()
+      .map { case (s, id, t, c, p) => DictEntry(s, id, t, c, p) }
+    // injective linking: on duplicate surfaces keep the highest-prior entry
+    // (deterministic tie-break by entity_id)
+    def toMap(es: Array[DictEntry]): Map[String, DictEntry] =
+      es.groupBy(_.surface).map { case (s, grp) =>
+        s -> grp.minBy(e => (-e.prior, e.entityId))
+      }
+    val (bi0, uni0) = dict.partition(_.surface.contains(' '))
+
+    val preds = spark.read.parquet(s"$fixturesDir/predicates.parquet")
+      .select($"pred", $"template", $"subj_type", $"obj_type")
+      .as[(String, String, String, String)].collect()
+      .map { case (p, t, st, ot) => Predicate(p, t, st, ot) }
+      .sortBy(_.pred).toIndexedSeq
+
+    val predIdx = preds.zipWithIndex.map { case (p, i) => p.pred -> i }.toMap
+    val w = Array.fill(preds.length)(new Array[Double](TextModel.FeatureBuckets))
+    spark.read.parquet(s"$fixturesDir/weights.parquet")
+      .select($"pred", $"feature_id", $"weight")
+      .as[(String, Long, Double)].collect()
+      .foreach { case (p, fid, wt) =>
+        predIdx.get(p).foreach(i => w(i)(fid.toInt) += wt) // collisions sum (pinned)
+      }
+    val tau = spark.read.parquet(s"$fixturesDir/model_meta.parquet")
+      .select($"tau").as[Double].head()
+
+    spark.sparkContext.broadcast(new KgModel(toMap(uni0), toMap(bi0), preds, w, tau))
+  }
+}

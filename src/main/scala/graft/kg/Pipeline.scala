@@ -1,0 +1,114 @@
+package graft.kg
+
+import graft.io.TableIO
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** End-to-end KG-construction pipeline (SURVEY.md §3.2 E1).
+  *
+  * webpages(url, warc_ts, html, text, lang)
+  *   → filter(lang) → repartition(P, xxhash64(url))            [A1–A2]
+  *   → Extract.text → sentences → tokens                        [A3–A5]
+  *   → mentions → candidates → featurize → score → link         [A6–A10]
+  *   → per-part partial agg (salt = part_id, shuffle-free)      [A11 ph.1]
+  *   → global merge (the single shuffle)                        [A11 ph.2]
+  *   → bucketed (subj,pred,obj) output table                    [A12]
+  * with per-part manifest checkpointing/resume [A13] and metrics [A14].
+  */
+object Pipeline {
+  final case class Config(
+      fixturesDir: String,
+      outDir: String,
+      langs: Seq[String] = Seq("en"),
+      numParts: Int = 64,
+      numBuckets: Int = 16,
+      repartitionInput: Boolean = true)
+
+  final case class RunStats(
+      partsProcessed: Int, partsSkipped: Int, pages: Long, mentions: Long,
+      candidates: Long, triples: Long, wallMs: Long)
+
+  def partialsPath(outDir: String) = s"$outDir/partials"
+  def triplesPath(outDir: String) = s"$outDir/triples"
+
+  /** Pure (non-checkpointed) run: webpages DataFrame in, canonical triples
+    * DataFrame out — used by tests and the harness flagship. */
+  def triples(spark: SparkSession, webpages: DataFrame, model: Broadcast[KgModel],
+              cfg: Config): DataFrame = {
+    val rels = Stages.extractRelations(
+      webpages, model, cfg.langs, cfg.numParts, cfg.repartitionInput)
+    Stages.mergeTriples(Stages.partialTriples(rels))
+      .select(col("subj"), col("pred"), col("obj"), col("score"),
+        col("n_evidence"), col("first_url"))
+  }
+
+  /** Checkpointed, resumable run over a webpages table on disk. Reprocesses
+    * only part_ids missing from the manifest; finalize merges all partials
+    * into the bucketed output table. Safe to re-run after any crash. */
+  def run(spark: SparkSession, webpagesPath: String, cfg: Config): RunStats = {
+    val t0 = System.nanoTime()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    val model = KgModel.load(spark, cfg.fixturesDir)
+    val webpages = spark.read.parquet(webpagesPath)
+    val committed = Checkpoint.committedParts(spark, cfg.outDir)
+    val todo = (0 until cfg.numParts).filterNot(committed.contains)
+
+    val accMentions = spark.sparkContext.longAccumulator("kg.mentions")
+    val accCandidates = spark.sparkContext.longAccumulator("kg.candidates")
+
+    var pages = 0L
+    if (todo.nonEmpty) {
+      val part = Stages.partitioned(webpages, cfg.langs, cfg.numParts, cfg.repartitionInput)
+        .filter(col("part_id").isin(todo: _*))
+      val rels = Stages.relations(
+        Stages.tokenized(Stages.sentences(Stages.pageText(part))),
+        model, Some(accMentions), Some(accCandidates))
+      val partials = Stages.partialTriples(rels)
+
+      // dynamic partition overwrite: a rerun replaces exactly the part dirs
+      // it recomputes — idempotent commits (Checkpoint scaladoc)
+      partials.write.mode(SaveMode.Overwrite)
+        .partitionBy("part_id").parquet(partialsPath(cfg.outDir))
+
+      // lineage: pages per part is a cheap url-only scan (html never read)
+      val pagesPerPart = Stages.partitioned(webpages.select("url", "lang",
+          "html"), cfg.langs, cfg.numParts, repartitionInput = false)
+        .filter(col("part_id").isin(todo: _*))
+        .groupBy(col("part_id")).agg(count(lit(1)).as("n_pages"))
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      val partialsBack = spark.read.parquet(partialsPath(cfg.outDir))
+        .filter(col("part_id").isin(todo: _*))
+      val rows = Checkpoint.partStats(partialsBack, pagesPerPart, wallMs)
+      Checkpoint.commit(spark, cfg.outDir, rows)
+      pages = rows.map(_.n_pages).sum
+    }
+
+    // finalize (cheap, always rerun): merge all committed partials
+    val merged = Stages.mergeTriples(
+        spark.read.parquet(partialsPath(cfg.outDir)).drop("part_id"))
+      .withColumn("bucket", Stages.subjBucket(cfg.numBuckets))
+    val io = TableIO.Parquet(cfg.outDir)
+    io.write(
+      merged.repartition(col("bucket")).sortWithinPartitions("subj", "pred", "obj"),
+      "triples", partitionCols = Seq("bucket"))
+
+    val nTriples = spark.read.parquet(triplesPath(cfg.outDir)).count()
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    val stats = RunStats(todo.size, committed.size, pages,
+      accMentions.value, accCandidates.value, nTriples, wallMs)
+    writeMetrics(cfg.outDir, stats)
+    stats
+  }
+
+  /** A14 — run-level metrics log (per-partition lineage lives in _manifest). */
+  private def writeMetrics(outDir: String, s: RunStats): Unit = {
+    val line = s"""{"parts_processed":${s.partsProcessed},"parts_skipped":${s.partsSkipped},""" +
+      s""""pages":${s.pages},"mentions":${s.mentions},"candidates":${s.candidates},""" +
+      s""""triples":${s.triples},"wall_ms":${s.wallMs}}\n"""
+    Files.write(Paths.get(s"$outDir/metrics.jsonl"), line.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+}
