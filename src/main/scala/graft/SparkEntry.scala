@@ -1,13 +1,316 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.fixtures.Gen
+import graft.kg.{Pipeline, Stages}
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver harness contract (SURVEY.md §2 Table B + training-data ops).
+  *
+  * Every oracle-checked query is designed integer/string-exact so the
+  * driver's value-hash compare is bit-stable across Spark and DuckDB:
+  * money sums are per-row `cast(round(x*100) as bigint)` cents, counts are
+  * bigint, rankings carry deterministic tie-breaks, and DuckDB sums (which
+  * widen to int128) are cast back to bigint. Column names are aliased
+  * identically on both sides.
+  *
+  * Queries without an oracleSql entry are not SQL-expressible in DuckDB 1.0
+  * (xxhash64-based signatures, the KG pipeline itself, RE2-incompatible
+  * regexes); each is covered by a ScalaTest spec instead (HarnessSpec/OpsSpec).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Flagship: the full KG pipeline (extract → mentions → featurize → score →
+    * canonicalize) on an in-memory 150-page webtext fixture. rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val model = Gen.inMemoryModel(spark)
+    Pipeline.triples(spark, Gen.webpagesDF(spark, 150),
+      model, Pipeline.Config(fixturesDir = "", outDir = "", numParts = 8))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scan / filter / project (pushdown-verified) ----
+    "q_scan_filter" -> ((s, d) => t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("l_quantity") < 5)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"))),
+
+    // ---- joins ----
+    "q_join_hash" -> ((s, d) => t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("c_name"))),
+
+    "q_join_broadcast" -> ((s, d) => t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"))),
+
+    "q_join_merge" -> ((s, d) => t(s, d, "lineitem")
+      .join(t(s, d, "orders").hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"))),
+
+    "q_join_anti" -> ((s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))),
+
+    "q_join_semi" -> ((s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders").filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))),
+
+    "q_join_range" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val a = e.select(col("user_id").as("uid_a"), col("ts").as("ts_a"), col("event_type"))
+      val b = e.select(col("user_id").as("uid_b"), col("ts").as("ts_b"))
+      a.join(b, col("uid_a") === col("uid_b") && col("ts_b") > col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- aggregation ----
+    "q_agg_group" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("long").as("revenue_cents"))),
+
+    "q_agg_twophase" -> ((s, d) =>
+      Stages.saltedTwoPhase(
+        t(s, d, "lineitem").withColumn("rev_c",
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount")))),
+        keys = Seq("l_returnflag", "l_linestatus"),
+        saltExpr = xxhash64(col("l_orderkey")), salts = 16)(
+        (Seq(count(lit(1)).as("pc"), sum(col("l_quantity")).as("pq"),
+          sum(col("rev_c")).as("pr")),
+          Seq(sum(col("pc")).cast("long").as("n"), sum(col("pq")).cast("long").as("sum_qty"),
+            sum(col("pr")).cast("long").as("revenue_cents"))))),
+
+    "q_distinct" -> ((s, d) => t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .agg(count(lit(1)).as("n"))),
+
+    "q_agg_rollup" -> ((s, d) => t(s, d, "customer")
+      .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n"))),
+
+    // ---- windows / sort / top-k / set ops ----
+    "q_window_rank" -> ((s, d) => t(s, d, "orders")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk"))),
+
+    "q_window_frame" -> ((s, d) => t(s, d, "events")
+      .withColumn("run_cents", sum(cents(col("value"))).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .select(col("user_id"), col("event_id"), col("run_cents"))),
+
+    "q_topk" -> ((s, d) => t(s, d, "part")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .limit(10)),
+
+    "q_set_except" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      li.filter(col("l_quantity") >= 48).select(col("l_orderkey")).distinct()
+        .except(li.filter(col("l_returnflag") === "R").select(col("l_orderkey")))
+    }),
+
+    // ---- strings / dates / arrays / json ----
+    "q_date_bucket" -> ((s, d) => t(s, d, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))),
+
+    "q_explode_tokens" -> ((s, d) => t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(5)),
+
+    "q_json_extract" -> ((s, d) => t(s, d, "events")
+      .filter(get_json_object(col("props"), "$.k").cast("long") > 50)
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).cast("long").as("sum_cents"))),
+
+    // ---- training-data ops: dedup ----
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          count(lit(1)).as("n_unique"))),
+
+    "q_dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", "source", shingleN = 1, minJaccardPct = 50)),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashBands(t(s, d, "documents"), "doc_id", "text",
+        shingleN = 2, numPerm = 32, bands = 8)),
+
+    "q_dedup_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(Dedup.minhashBands(
+        t(s, d, "documents").filter(col("doc_id") % 5 === 0), "doc_id", "text",
+        shingleN = 2, numPerm = 32, bands = 8))),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashTable(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- training-data ops: similarity search ----
+    "q_embed_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    }),
+
+    "q_embed_lsh_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", dims = 64, planes = 4, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    }),
+
+    // ---- training-data ops: text analysis ----
+    "q_text_quality" -> ((s, d) =>
+      TextStats.quality(t(s, d, "documents"), "doc_id", "text")),
+
+    "q_token_bpeish" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long").as("bpeish_tokens"))),
+
+    "q_lang_stats" -> ((s, d) => t(s, d, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))),
+
+    "q_lang_id" -> ((s, d) =>
+      TextStats.langId(t(s, d, "documents"), "doc_id", "text")),
+
+    "q_fingerprint" -> ((s, d) =>
+      TextStats.fingerprints(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), size(col("fingerprint")).cast("long").as("n_grams"),
+          Dedup.hamming(get(col("fingerprint"), lit(0)), lit(0L)).as("first_bits"))),
+
+    // ---- multimodal plumbing ----
+    "q_binary_meta" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        md5(col("text")).as("content_md5"))),
+
+    "q_media_features" -> ((s, d) => {
+      val media = Multimodal.withMeta(
+        t(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("bin")),
+        "doc_id", "bin")
+      Multimodal.decodeBatch(s, media).toDF()
+        .select(col("media_id"), col("n_bytes"), round(get(col("histogram"), lit(0)), 4).as("h0"))
+    }),
+
+    // ---- the KG pipeline itself as a harness query ----
+    "q_pipeline_triples" -> ((s, _) => {
+      val model = Gen.inMemoryModel(s)
+      Pipeline.triples(s, Gen.webpagesDF(s, 300), model,
+        Pipeline.Config(fixturesDir = "", outDir = "", numParts = 8))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_filter" ->
+      ("SELECT l_orderkey, cast(l_linenumber as bigint) AS l_linenumber, cast(l_quantity as bigint) AS qty " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity < 5"),
+    "q_join_hash" ->
+      "SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_totalprice > 400000",
+    "q_join_broadcast" ->
+      ("SELECT p_brand, count(*) AS n, cast(sum(l_quantity) as bigint) AS sum_qty " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"),
+    "q_join_merge" ->
+      ("SELECT o_orderstatus, count(*) AS n, cast(sum(l_quantity) as bigint) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus"),
+    "q_join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN " +
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000)"),
+    "q_join_semi" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE c_custkey IN " +
+        "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')"),
+    "q_join_range" ->
+      ("SELECT a.event_type AS event_type, count(*) AS n FROM events a JOIN events b " +
+        "ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE " +
+        "GROUP BY a.event_type"),
+    "q_agg_group" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, cast(sum(l_quantity) as bigint) AS sum_qty, " +
+        "cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) as bigint) AS revenue_cents " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "q_agg_twophase" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, cast(sum(l_quantity) as bigint) AS sum_qty, " +
+        "cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) as bigint) AS revenue_cents " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "q_distinct" ->
+      "SELECT count(*) AS n FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+    "q_agg_rollup" ->
+      ("SELECT r_name, n_name, count(*) AS n FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY ROLLUP(r_name, n_name)"),
+    "q_window_rank" ->
+      ("SELECT o_custkey, o_orderkey, rnk FROM (SELECT o_custkey, o_orderkey, " +
+        "cast(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) as bigint) AS rnk " +
+        "FROM orders) WHERE rnk <= 3"),
+    "q_window_frame" ->
+      ("SELECT user_id, event_id, cast(sum(cast(round(value * 100) as bigint)) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS run_cents " +
+        "FROM events"),
+    "q_topk" ->
+      "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10",
+    "q_set_except" ->
+      ("SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 48 " +
+        "EXCEPT SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'"),
+    "q_date_bucket" ->
+      "SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n FROM events GROUP BY 1, 2",
+    "q_explode_tokens" ->
+      ("SELECT tok, count(*) AS n FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "WHERE length(tok) > 0 GROUP BY tok ORDER BY n DESC, tok LIMIT 5"),
+    "q_json_extract" ->
+      ("SELECT count(*) AS n, cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents " +
+        "FROM events WHERE try_cast(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS bigint) > 50"),
+    "q_dedup_exact" ->
+      ("SELECT cast(sum(n_docs) as bigint) AS n_docs, count(*) AS n_unique FROM " +
+        "(SELECT md5(text) AS h, count(*) AS n_docs FROM documents GROUP BY 1)"),
+    "q_dedup_jaccard" ->
+      ("WITH d AS (SELECT * FROM documents WHERE doc_id % 5 = 0), " +
+        "tok AS (SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS tok FROM d), " +
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id), " +
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter FROM tok a " +
+        "JOIN tok b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, cast(p.inter as bigint) AS inter, cast(sa.sz + sb.sz - p.inter as bigint) AS uni " +
+        "FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id JOIN sizes sb ON p.doc_b = sb.doc_id " +
+        "WHERE p.inter * 100 >= (sa.sz + sb.sz - p.inter) * 50"),
+    "q_embed_topk" ->
+      ("SELECT query_id, neighbor_id, rnk FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "cast(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, c.vec_id) as bigint) AS rnk " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) WHERE rnk <= 10"),
+    "q_text_quality" ->
+      ("SELECT doc_id, cast(length(text) as bigint) AS n_chars, " +
+        "cast(len(list_filter(string_split(text, ' '), x -> length(x) > 0)) as bigint) AS n_tokens, " +
+        "cast(length(replace(text, ' ', '')) as bigint) AS n_nonspace, " +
+        "cast(coalesce(list_max(list_transform(list_filter(string_split(text, ' '), x -> length(x) > 0), x -> length(x))), 0) as bigint) AS max_token_len " +
+        "FROM documents"),
+    "q_token_bpeish" ->
+      ("SELECT doc_id, cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) as bigint) AS bpeish_tokens " +
+        "FROM documents"),
+    "q_lang_stats" ->
+      "SELECT lang, count(*) AS n, cast(sum(n_chars) as bigint) AS chars FROM documents GROUP BY lang",
+    "q_binary_meta" ->
+      ("SELECT doc_id, cast(octet_length(encode(text)) as bigint) AS n_bytes, md5(text) AS content_md5 " +
+        "FROM documents"))
 }

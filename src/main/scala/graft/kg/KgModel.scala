@@ -87,6 +87,24 @@ final class KgModel(
 }
 
 object KgModel {
+
+  /** Build + broadcast a model from in-memory rows (no I/O). */
+  def fromData(spark: SparkSession, dict: Seq[DictEntry], preds0: Seq[Predicate],
+               weightRows: Seq[(String, Long, Double)], tau: Double): Broadcast[KgModel] = {
+    def toMap(es: Seq[DictEntry]): Map[String, DictEntry] =
+      es.groupBy(_.surface).map { case (s, grp) =>
+        s -> grp.minBy(e => (-e.prior, e.entityId))
+      }
+    val (bi0, uni0) = dict.partition(_.surface.contains(' '))
+    val preds = preds0.sortBy(_.pred).toIndexedSeq
+    val predIdx = preds.zipWithIndex.map { case (p, i) => p.pred -> i }.toMap
+    val w = Array.fill(preds.length)(new Array[Double](TextModel.FeatureBuckets))
+    weightRows.foreach { case (p, fid, wt) =>
+      predIdx.get(p).foreach(i => w(i)(fid.toInt) += wt) // collisions sum (pinned)
+    }
+    spark.sparkContext.broadcast(new KgModel(toMap(uni0), toMap(bi0), preds, w, tau))
+  }
+
   /** Load dictionary + weights + meta from fixture parquet and broadcast. */
   def load(spark: SparkSession, fixturesDir: String): Broadcast[KgModel] = {
     import spark.implicits._
@@ -94,31 +112,17 @@ object KgModel {
       .select($"surface", $"entity_id", $"ent_type", $"canonical", $"prior")
       .as[(String, Long, String, String, Double)].collect()
       .map { case (s, id, t, c, p) => DictEntry(s, id, t, c, p) }
-    // injective linking: on duplicate surfaces keep the highest-prior entry
-    // (deterministic tie-break by entity_id)
-    def toMap(es: Array[DictEntry]): Map[String, DictEntry] =
-      es.groupBy(_.surface).map { case (s, grp) =>
-        s -> grp.minBy(e => (-e.prior, e.entityId))
-      }
-    val (bi0, uni0) = dict.partition(_.surface.contains(' '))
-
+      .toSeq
     val preds = spark.read.parquet(s"$fixturesDir/predicates.parquet")
       .select($"pred", $"template", $"subj_type", $"obj_type")
       .as[(String, String, String, String)].collect()
       .map { case (p, t, st, ot) => Predicate(p, t, st, ot) }
-      .sortBy(_.pred).toIndexedSeq
-
-    val predIdx = preds.zipWithIndex.map { case (p, i) => p.pred -> i }.toMap
-    val w = Array.fill(preds.length)(new Array[Double](TextModel.FeatureBuckets))
-    spark.read.parquet(s"$fixturesDir/weights.parquet")
+      .toSeq
+    val weightRows = spark.read.parquet(s"$fixturesDir/weights.parquet")
       .select($"pred", $"feature_id", $"weight")
-      .as[(String, Long, Double)].collect()
-      .foreach { case (p, fid, wt) =>
-        predIdx.get(p).foreach(i => w(i)(fid.toInt) += wt) // collisions sum (pinned)
-      }
+      .as[(String, Long, Double)].collect().toSeq
     val tau = spark.read.parquet(s"$fixturesDir/model_meta.parquet")
       .select($"tau").as[Double].head()
-
-    spark.sparkContext.broadcast(new KgModel(toMap(uni0), toMap(bi0), preds, w, tau))
+    fromData(spark, dict, preds, weightRows, tau)
   }
 }

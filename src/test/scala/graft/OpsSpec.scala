@@ -1,0 +1,131 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral specs for the training-data ops that have no DuckDB oracle
+  * (minhash/simhash signatures, LSH ANN, language ID, fingerprints,
+  * multimodal decode): planted near-duplicates must be found, planted
+  * languages identified, and everything deterministic. */
+class OpsSpec extends AnyFunSuite with SharedSpark {
+
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches the birds fly south " +
+      "every winter season brings cold winds and long nights to the northern villages"
+  private lazy val docs = Seq(
+    (1L, base, "s0"),
+    (2L, base.replace("lazy", "sleepy"), "s0"), // near-dup of 1
+    (3L, base, "s1"),                           // exact dup of 1, other block
+    (4L, "completely different content about spark catalyst optimizer rules and " +
+      "whole stage code generation for columnar execution engines at scale", "s0"),
+    (5L, "vectors matrices tensors gradients optimizers schedulers batches epochs " +
+      "losses metrics checkpoints shards replicas pipelines dataflows kernels", "s1"))
+    .toDF("doc_id", "text", "source")
+
+  test("exact dedup groups identical content") {
+    val groups = Dedup.exact(docs, "doc_id", "text").filter($"n_docs" > 1).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("n_docs") == 2L)
+    assert(groups(0).getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds planted near-dup pair, skips unrelated docs") {
+    val pairs = Dedup.minhashPairs(
+      Dedup.minhashBands(docs, "doc_id", "text", shingleN = 2, numPerm = 32, bands = 8))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)), "exact dup must collide in every band")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 3L)),
+      s"near-dup should collide in some band: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L),
+      s"unrelated docs must not pair: $pairs")
+  }
+
+  test("simhash: near-dups close in hamming space, unrelated docs far") {
+    val sh = Dedup.simhashTable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    assert(ham(1L, 3L) == 0)
+    assert(ham(1L, 2L) <= 8, s"near-dup hamming ${ham(1L, 2L)}")
+    assert(ham(1L, 4L) >= 16, s"unrelated hamming ${ham(1L, 4L)}")
+  }
+
+  test("jaccard pairs: exact intersection/union arithmetic, blocking respected") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source",
+      shingleN = 1, minJaccardPct = 50)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc1 vs doc2 share all but one token (same block s0)
+    assert(pairs.exists { case (a, b, i, u) => a == 1L && b == 2L && i < u })
+    // doc1 vs doc3 identical but different blocks -> never paired
+    assert(!pairs.exists { case (a, b, _, _) => a == 1L && b == 3L })
+  }
+
+  test("brute-force cosine top-k: self-similar vectors rank first; deterministic") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)), // closest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs,
+      "vec_id", "embedding", k = 3)
+      .select($"neighbor_id", $"rnk").as[(Long, Long)].collect().sortBy(_._2)
+    assert(topk.map(_._1).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("LSH top-k is a subset of brute-force candidates with sane ranks") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val res = Similarity.lshTopK(emb.filter($"vec_id" < 4), emb,
+      "vec_id", "embedding", dims = 64, planes = 4, k = 5)
+      .select($"query_id", $"neighbor_id", $"rnk").collect()
+    assert(res.nonEmpty)
+    assert(res.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 5))
+    // determinism
+    val res2 = Similarity.lshTopK(emb.filter($"vec_id" < 4), emb,
+      "vec_id", "embedding", dims = 64, planes = 4, k = 5)
+      .select($"query_id", $"neighbor_id", $"rnk").collect()
+    assert(res.map(_.toString).sorted.toSeq == res2.map(_.toString).sorted.toSeq)
+  }
+
+  test("language ID heuristic identifies planted languages") {
+    val samples = Seq(
+      (1L, "the cat and the dog are sitting of the garden watching the evening"),
+      (2L, "der hund und die katze schlafen in einem schönen garten nicht schlecht"),
+      (3L, "la casa de la abuela está cerca de la ciudad que tiene los parques"),
+      (4L, "le chien de la maison est dans le jardin que nous avons entendu"),
+      (5L, "这是一个关于中国的人和一个有名的故事")).toDF("doc_id", "text")
+    val preds = TextStats.langId(samples, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(preds(1L) == "en", preds.toString)
+    assert(preds(2L) == "de", preds.toString)
+    assert(preds(3L) == "es", preds.toString)
+    assert(preds(4L) == "fr", preds.toString)
+    assert(preds(5L) == "zh", preds.toString)
+  }
+
+  test("winnowing fingerprints: shared for dups, deterministic, guards short text") {
+    val fp = TextStats.fingerprints(docs, "doc_id", "text")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fp(1L) == fp(3L), "identical docs share the fingerprint")
+    assert(fp(1L) != fp(4L))
+    val overlap = fp(1L).toSet.intersect(fp(2L).toSet).size.toDouble / fp(1L).size
+    assert(overlap > 0.5, s"near-dup fingerprint overlap $overlap")
+    // short-text guard (sequence() descend bug)
+    val short = Seq((9L, "ab")).toDF("doc_id", "text")
+    assert(TextStats.fingerprints(short, "doc_id", "text").count() == 0)
+  }
+
+  test("multimodal: metadata + batched decode plumbing") {
+    val media = Multimodal.withMeta(
+      docs.select($"doc_id", encode($"text", "UTF-8").as("bin")), "doc_id", "bin")
+    val metas = media.select($"media_id", $"meta.n_bytes", $"meta.magic").collect()
+    assert(metas.forall(_.getLong(1) > 0))
+    val feats = Multimodal.decodeBatch(spark, media, batchSize = 2).collect()
+    assert(feats.length == 5)
+    assert(feats.forall(f => math.abs(f.histogram.sum - 1.0) < 1e-9))
+    // identical payloads -> identical features
+    val f = feats.map(x => x.media_id -> x.histogram.toSeq).toMap
+    assert(f(1L) == f(3L))
+  }
+}
