@@ -39,7 +39,8 @@ object PipelineBench {
     val nPages = webpages.count() // warm file listing/footers out of the timed path
 
     val parts = math.max(4 * cpus, 32)
-    val secs = (1 to runs).map { r =>
+    var triplesOut = 0L
+    def oneRun(r: Int, timed: Boolean): Double = {
       val out = java.nio.file.Files.createTempDirectory(s"bench-$cpus-$r").toString
       val t0 = System.nanoTime()
       val rels = Stages.extractRelations(webpages, model, Seq("en"), parts)
@@ -47,12 +48,16 @@ object PipelineBench {
       triples.write.mode("overwrite").parquet(s"$out/triples")
       val sec = (System.nanoTime() - t0) / 1e9
       val n = spark.read.parquet(s"$out/triples").count()
-      println(f"""{"bench":"pipeline","cpus":$cpus,"sf":$sf,"run":$r,"pages":$nPages,"triples":$n,"sec":$sec%.3f,"triples_per_sec":${n / sec}%.1f}""")
+      triplesOut = n
+      if (timed)
+        println(f"""{"bench":"pipeline","cpus":$cpus,"sf":$sf,"run":$r,"pages":$nPages,"triples":$n,"sec":$sec%.3f,"triples_per_sec":${n / sec}%.1f}""")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
       sec
     }
-    val med = secs.sorted.apply(secs.length / 2)
-    println(f"""{"bench":"pipeline-median","cpus":$cpus,"sf":$sf,"median_sec":$med%.3f}""")
+    oneRun(0, timed = false) // warmup: JIT + codegen compile excluded
+    val secs = (1 to runs).map(oneRun(_, timed = true))
+    val med = secs.sorted.apply((secs.length - 1) / 2)
+    println(f"""{"bench":"pipeline-median","cpus":$cpus,"sf":$sf,"pages":$nPages,"triples":$triplesOut,"median_sec":$med%.3f,"triples_per_sec":${triplesOut / med}%.1f}""")
     spark.stop()
   }
 }

@@ -31,11 +31,14 @@ object Stages {
     if (repartitionInput) filtered.repartition(numParts, col("part_id")) else filtered
   }
 
-  /** A3 — HTML→text, the pinned byte-identical extractor (one UDF island). */
-  val extractText = udf((html: Array[Byte]) => Extract.text(html))
+  /** A3 — HTML→text, the pinned byte-identical extractor. Default path is the
+    * native Catalyst expression (codegen-fused, null-intolerant — SURVEY.md
+    * §4.3); the udf() wrapper is kept for the equivalence spec. */
+  val extractTextUdf = udf((html: Array[Byte]) => Extract.text(html))
 
   def pageText(partitioned: DataFrame): DataFrame =
-    partitioned.select(col("url"), col("part_id"), extractText(col("html")).as("text"))
+    partitioned.select(col("url"), col("part_id"),
+      graft.plans.GraftExtensions.extractText(col("html")).as("text"))
 
   /** A4 — UDF-free sentence split: built-in split + posexplode Generator. */
   def sentences(pageText: DataFrame): DataFrame =

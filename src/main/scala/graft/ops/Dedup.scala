@@ -36,25 +36,30 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
-  /** MinHash signature: numPerm permutations simulated as
-    * min over shingles of xxhash64(shingle, perm). Pure Catalyst HOFs. */
-  def minhashSignature(shingleCol: Column, numPerm: Int): Column =
-    transform(sequence(lit(0), lit(numPerm - 1)),
-      p => array_min(transform(shingleCol, s => xxhash64(s, p))))
-
   /** LSH band table: one row per (doc, band) with the band's hash. Join this
     * with itself on (band, band_hash) to get candidate near-dup pairs —
-    * collision probability per band = jaccard^rowsPerBand. */
+    * collision probability per band = jaccard^rowsPerBand.
+    *
+    * Shape note: the signature is computed by EXPLODING shingles and taking
+    * numPerm `min(xxhash64(shingle, p))` aggregates in one groupBy — NOT by
+    * nesting array HOFs. Nested lambdas over a derived array re-inline the
+    * producing expression per element after CollapseProject (measured ~100x
+    * slowdown), while explode+min gets hash aggregation with map-side partial
+    * combine — the formulation that scales. */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numPerm: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = numPerm / bands
-    docs
-      .withColumn("sig", minhashSignature(shingles(tokenSet(col(textCol)), shingleN), numPerm))
-      .select(col(idCol).as("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-          .as(Seq("band", "band_hash")))
+    val exploded = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(tokenSet(col(textCol)), shingleN)).as("shingle"))
+    val minCols = (0 until numPerm).map(p =>
+      min(xxhash64(col("shingle"), lit(p))).as(s"m$p"))
+    val sig = exploded.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val slots = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(concat_ws(",", slots: _*)).as("band_hash"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
   }
 
   /** Candidate near-dup pairs from LSH buckets (doc_a < doc_b, deduped). */

@@ -1,0 +1,67 @@
+package graft.plans
+
+import graft.text.Extract
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the pinned HTML→text extractor
+  * (SURVEY.md §4.3): unlike the `udf()` wrapper it participates in
+  * whole-stage codegen (defineCodeGen emits a direct static call — no encoder
+  * round-trip, no closure serialization) and declares null-intolerance so
+  * Catalyst can push IsNotNull through it.
+  */
+case class ExtractTextExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "extract_text"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"extract_text requires BINARY input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(Extract.text(input.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.text.Extract.text($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): ExtractTextExpr =
+    copy(child = newChild)
+}
+
+/** Registration of graft's native expressions — via SparkSessionExtensions
+  * (`SparkSession.builder.withExtensions(GraftExtensions)`) for new sessions,
+  * or `GraftExtensions.register(spark)` on a live one (idempotent). */
+object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+
+  private val extractTextInfo = new ExpressionInfo(
+    classOf[ExtractTextExpr].getName, "extract_text")
+
+  private val builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, "extract_text(html) takes exactly one argument")
+    ExtractTextExpr(args.head)
+  }
+
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier("extract_text"), extractTextInfo, builder))
+
+  /** Idempotent runtime registration into the session's function registry. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "extract_text", builder, "built-in")
+
+  /** Column-API handle (registers into the active session on first use). */
+  def extractText(html: Column): Column = {
+    SparkSession.active.synchronized(register(SparkSession.active))
+    call_function("extract_text", html)
+  }
+}

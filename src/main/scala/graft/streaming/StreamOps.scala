@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming operators over the `events` schema
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference pipeline is batch-only (SURVEY.md §2 Table B marks streaming
+  * absent), so these are engine capabilities, not reference semantics: the
+  * same declarative transforms run on a readStream frame — watermarked
+  * tumbling/sliding window aggregation, streaming dedup, and custom session
+  * state via flatMapGroupsWithState.
+  */
+object StreamOps {
+
+  /** Watermarked tumbling-window counts per event_type. Late rows beyond
+    * `lateness` are dropped by the watermark — at scale this bounds state. */
+  def windowedCounts(events: DataFrame, windowLen: String = "10 minutes",
+                     lateness: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_cents"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon. */
+  def dedupStream(events: DataFrame, lateness: String = "5 minutes"): DataFrame =
+    events.withWatermark("ts", lateness).dropDuplicates("event_id", "ts")
+
+  final case class SessionUpdate(user_id: Long, n_events: Long, start: Timestamp, end: Timestamp)
+  private final case class SessionState(n: Long, startMs: Long, endMs: Long)
+
+  /** Custom keyed state: per-user sessions closed after `gapMs` idle time
+    * (processing-time timeout). Emits one SessionUpdate per closed session. */
+  def sessionize(events: Dataset[(Long, Timestamp)], gapMs: Long): Dataset[SessionUpdate] = {
+    implicit val outEnc = Encoders.product[SessionUpdate]
+    implicit val stateEnc = Encoders.product[SessionState]
+    events.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, s.n, new Timestamp(s.startMs), new Timestamp(s.endMs)))
+          } else {
+            val ts = rows.map(_._2.getTime).toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, Long.MaxValue, Long.MinValue))
+            val next = SessionState(prev.n + ts.size,
+              math.min(prev.startMs, if (ts.isEmpty) prev.startMs else ts.min),
+              math.max(prev.endMs, if (ts.isEmpty) prev.endMs else ts.max))
+            state.update(next)
+            state.setTimeoutDuration(gapMs)
+            Iterator.empty
+          }
+      }
+  }
+}

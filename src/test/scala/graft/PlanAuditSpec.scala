@@ -1,0 +1,99 @@
+package graft
+
+import graft.kg.{Pipeline, Stages}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits (the "explain and iterate" discipline): pushdown and
+  * pruning reach the parquet scan, broadcasts are broadcast, the pipeline has
+  * exactly the two shuffles it is designed to have, the hot path is
+  * whole-stage-codegen'd, and the native extractor expression fuses. */
+class PlanAuditSpec extends AnyFunSuite with SharedSpark {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def formatted(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString() // pre-AQE physical plan
+  }
+
+  test("q_scan_filter: predicate pushdown + column pruning reach the scan") {
+    val plan = SparkEntry.queries("q_scan_filter")(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), s"shipdate filter not pushed:\n$plan")
+    assert(plan.contains("LessThan(l_quantity"), s"quantity filter not pushed:\n$plan")
+    // pruned read schema: only the 4 referenced columns, never the whole row
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      s"scan reads unused columns: $readSchema")
+  }
+
+  test("q_join_broadcast plans a BroadcastHashJoin; q_join_merge a SortMergeJoin") {
+    val b = formatted(SparkEntry.queries("q_join_broadcast")(spark, sfDir))
+    assert(b.contains("BroadcastHashJoin"), b)
+    val m = formatted(SparkEntry.queries("q_join_merge")(spark, sfDir))
+    assert(m.contains("SortMergeJoin"), m)
+  }
+
+  test("pipeline: exactly two exchanges (url-hash repartition + final merge)") {
+    val model = KgTestModel.model(spark)
+    val webpages = spark.read.parquet(s"${SparkKit.sf0001}/webpages.parquet")
+    val triples = Pipeline.triples(spark, webpages, model,
+      Pipeline.Config(fixturesDir = "", outDir = "", numParts = 16))
+    val plan = formatted(triples)
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"pipeline must shuffle exactly twice (repartition + merge), got $exchanges:\n$plan")
+    // phase-1 partial aggregation must NOT re-shuffle: the partial aggregate
+    // pair sits between the repartition exchange and the merge exchange.
+    // (min/max over the string provenance column forces SortAggregate — a
+    // documented tradeoff: provenance urls vs hash-agg buffers.)
+    assert(plan.contains("Aggregate"), plan)
+  }
+
+  test("pipeline hot path is whole-stage codegen'd incl. native extract_text") {
+    val model = KgTestModel.model(spark)
+    val webpages = spark.read.parquet(s"${SparkKit.sf0001}/webpages.parquet")
+    val sents = Stages.tokenized(Stages.sentences(
+      Stages.pageText(Stages.partitioned(webpages, Seq("en"), 8))))
+    sents.collect() // materialize THIS dataset so AQE finalizes its plan
+    val plan = formatted(sents)
+    // '*(n)' is the tree-string marker for a WholeStageCodegen span
+    assert(plan.contains("*("), s"no codegen spans:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("extract_text") && l.contains("*(")),
+      s"native extract_text not inside a codegen span:\n$plan")
+    assert(!plan.contains("BatchEvalPython"), plan)
+  }
+
+  test("native extract_text expression == udf wrapper, and evaluates in codegen") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"${SparkKit.sf0001}/webpages.parquet")
+      .select(col("url"), col("html"))
+    val native = df.select(col("url"),
+      graft.plans.GraftExtensions.extractText(col("html")).as("t"))
+    val viaUdf = df.select(col("url"), Stages.extractTextUdf(col("html")).as("t"))
+    assert(native.exceptAll(viaUdf).isEmpty && viaUdf.exceptAll(native).isEmpty)
+    // also callable through SQL after registration
+    graft.plans.GraftExtensions.register(spark)
+    df.limit(5).createOrReplaceTempView("pages_tmp")
+    val viaSql = spark.sql("SELECT extract_text(html) AS t FROM pages_tmp")
+    assert(viaSql.count() == 5)
+  }
+
+  test("q_embed_lsh_topk avoids a cartesian product (equi-join on bucket)") {
+    val plan = formatted(SparkEntry.queries("q_embed_lsh_topk")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
+
+/** Shared broadcast model for plan audits (built once, in-memory). */
+object KgTestModel {
+  private var cached: org.apache.spark.broadcast.Broadcast[graft.kg.KgModel] = _
+  def model(spark: org.apache.spark.sql.SparkSession): org.apache.spark.broadcast.Broadcast[graft.kg.KgModel] =
+    synchronized {
+      if (cached == null) cached = graft.fixtures.Gen.inMemoryModel(spark)
+      cached
+    }
+}

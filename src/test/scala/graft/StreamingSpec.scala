@@ -1,0 +1,67 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Structured Streaming coverage: watermarked windowed aggregation with
+  * late-data dropping, and streaming dedup — driven through MemoryStream →
+  * memory sink, batch boundaries made explicit with processAllAvailable. */
+class StreamingSpec extends AnyFunSuite with SharedSpark {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermarked tumbling window counts; late rows beyond watermark dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val q = StreamOps.windowedCounts(events, windowLen = "10 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("win_counts").outputMode("append").start()
+    try {
+      // batch 1: two rows in [10:00,10:10), one in [10:10,10:20)
+      in.addData((1L, ts(1), 1L, "click", 1.0, "{}"), (2L, ts(2), 1L, "click", 2.0, "{}"),
+        (3L, ts(11), 2L, "view", 3.0, "{}"))
+      q.processAllAvailable()
+      // batch 2: advance watermark far ahead (10:40) so earlier windows close
+      in.addData((4L, ts(40), 3L, "view", 4.0, "{}"))
+      q.processAllAvailable()
+      // batch 3: a LATE row for the long-closed 10:00 window — must be dropped
+      in.addData((5L, ts(3), 1L, "click", 8.0, "{}"))
+      q.processAllAvailable()
+      // batch 4: advance watermark again so the 10:40 window also closes
+      in.addData((6L, ts(59), 3L, "view", 5.0, "{}"))
+      q.processAllAvailable()
+
+      val rows = spark.table("win_counts")
+        .select("w_start", "event_type", "n", "sum_cents")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(rows.contains((ts(0), "click", 2L, 300L)),
+        s"click window must have exactly the 2 on-time rows (late row dropped): $rows")
+      assert(rows.contains((ts(10), "view", 1L, 300L)), rows.toString)
+      assert(rows.contains((ts(40), "view", 1L, 400L)), rows.toString)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val events = in.toDF().toDF("event_id", "ts", "event_type")
+
+    val q = StreamOps.dedupStream(events).writeStream
+      .format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      in.addData((1L, ts(1), "a"), (1L, ts(1), "a"), (2L, ts(2), "b"))
+      q.processAllAvailable()
+      in.addData((1L, ts(1), "a"), (3L, ts(3), "c")) // replay of id 1 within horizon
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"dedup failed: $ids")
+    } finally q.stop()
+  }
+}
