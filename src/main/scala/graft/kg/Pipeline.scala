@@ -50,6 +50,8 @@ object Pipeline {
   def run(spark: SparkSession, webpagesPath: String, cfg: Config): RunStats = {
     val t0 = System.nanoTime()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val stageListener = new StageMetricsListener
+    spark.sparkContext.addSparkListener(stageListener)
 
     val model = KgModel.load(spark, cfg.fixturesDir)
     val webpages = spark.read.parquet(webpagesPath)
@@ -99,16 +101,18 @@ object Pipeline {
     val wallMs = (System.nanoTime() - t0) / 1000000L
     val stats = RunStats(todo.size, committed.size, pages,
       accMentions.value, accCandidates.value, nTriples, wallMs)
-    writeMetrics(cfg.outDir, stats)
+    spark.sparkContext.removeSparkListener(stageListener)
+    writeMetrics(cfg.outDir, stats, stageListener.lines)
     stats
   }
 
   /** A14 — run-level metrics log (per-partition lineage lives in _manifest). */
-  private def writeMetrics(outDir: String, s: RunStats): Unit = {
-    val line = s"""{"parts_processed":${s.partsProcessed},"parts_skipped":${s.partsSkipped},""" +
+  private def writeMetrics(outDir: String, s: RunStats, stageLines: Seq[String]): Unit = {
+    val run = s"""{"parts_processed":${s.partsProcessed},"parts_skipped":${s.partsSkipped},""" +
       s""""pages":${s.pages},"mentions":${s.mentions},"candidates":${s.candidates},""" +
-      s""""triples":${s.triples},"wall_ms":${s.wallMs}}\n"""
-    Files.write(Paths.get(s"$outDir/metrics.jsonl"), line.getBytes("UTF-8"),
+      s""""triples":${s.triples},"wall_ms":${s.wallMs}}"""
+    val all = (run +: stageLines).mkString("", "\n", "\n")
+    Files.write(Paths.get(s"$outDir/metrics.jsonl"), all.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 }

@@ -130,6 +130,16 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     assert(pr.recall >= 0.95, s"recall ${pr.recall} below gate")
   }
 
+  test("P/R gate holds at sf0.01 too") {
+    val dir01 = SparkKit.sf001
+    val model01 = KgModel.load(spark, dir01)
+    val triples = Pipeline.triples(spark,
+      spark.read.parquet(s"$dir01/webpages.parquet"), model01, cfg.copy(numParts = 32))
+    val pr = Eval.pr(triples, spark.read.parquet(s"$dir01/gold_triples.parquet"))
+    info(s"sf0.01: precision=${pr.precision} recall=${pr.recall} gold=${pr.gold}")
+    assert(pr.precision >= 0.95 && pr.recall >= 0.95)
+  }
+
   // DeterminismSpec — identical triples under different parallelism
   test("triple set is identical under different partition counts") {
     val t2 = Pipeline.triples(spark, webpages, model, cfg.copy(numParts = 2))

@@ -28,6 +28,13 @@ object SparkKit {
     Gen.generate(session, dir, Gen.pageCount(0.001))
     dir
   }
+
+  /** sf0.01 webtext fixture (~5,000 pages). */
+  lazy val sf001: String = synchronized {
+    val dir = s"$fixturesRoot/sf0.01"
+    Gen.generate(session, dir, Gen.pageCount(0.01))
+    dir
+  }
 }
 
 trait SharedSpark { self: org.scalatest.Suite =>
