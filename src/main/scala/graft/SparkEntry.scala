@@ -96,6 +96,14 @@ object SparkEntry {
           Seq(sum(col("pc")).cast("long").as("n"), sum(col("pq")).cast("long").as("sum_qty"),
             sum(col("pr")).cast("long").as("revenue_cents"))))),
 
+    // approx_count_distinct (HLL sketch) — no DuckDB oracle by design: the
+    // sketch estimate is engine-specific; DedupSpec-style exactness lives in
+    // q_distinct. Rows-only check (SURVEY.md §2 Table B approx-distinct row).
+    "q_agg_approx" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))),
+
     "q_distinct" -> ((s, d) => t(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .agg(count(lit(1)).as("n"))),

@@ -33,6 +33,13 @@ object Pipeline {
   def partialsPath(outDir: String) = s"$outDir/partials"
   def triplesPath(outDir: String) = s"$outDir/triples"
 
+  /** Partial-triples schema (part_id is the hive partition column). Reads use
+    * it explicitly so an empty (file-less) partials dir stays readable. */
+  val partialsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "subj string, pred string, obj string, n bigint, score double, " +
+        "first_url string, part_id int")
+
   /** Pure (non-checkpointed) run: webpages DataFrame in, canonical triples
     * DataFrame out — used by tests and the harness flagship. */
   def triples(spark: SparkSession, webpages: DataFrame, model: Broadcast[KgModel],
@@ -81,23 +88,34 @@ object Pipeline {
         .filter(col("part_id").isin(todo: _*))
         .groupBy(col("part_id")).agg(count(lit(1)).as("n_pages"))
       val wallMs = (System.nanoTime() - t0) / 1000000L
-      val partialsBack = spark.read.parquet(partialsPath(cfg.outDir))
+      val partialsBack = spark.read.schema(partialsSchema).parquet(partialsPath(cfg.outDir))
         .filter(col("part_id").isin(todo: _*))
       val rows = Checkpoint.partStats(partialsBack, pagesPerPart, wallMs)
       Checkpoint.commit(spark, cfg.outDir, rows)
       pages = rows.map(_.n_pages).sum
     }
 
-    // finalize (cheap, always rerun): merge all committed partials
-    val merged = Stages.mergeTriples(
-        spark.read.parquet(partialsPath(cfg.outDir)).drop("part_id"))
+    // finalize (cheap, always rerun): merge all committed partials. A run
+    // whose input produced no partials (e.g. no pages in scope) still commits
+    // a valid empty output table.
+    val partials0 =
+      if (new java.io.File(partialsPath(cfg.outDir)).exists())
+        spark.read.schema(partialsSchema).parquet(partialsPath(cfg.outDir)).drop("part_id")
+      else
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(partialsSchema.dropRight(1)))
+    val merged = Stages.mergeTriples(partials0)
       .withColumn("bucket", Stages.subjBucket(cfg.numBuckets))
     val io = TableIO.Parquet(cfg.outDir)
+    // a partitionBy write of an empty frame yields no schema-bearing files —
+    // fall back to a plain (schema-preserving) empty parquet table
+    val mergedEmpty = merged.isEmpty
     io.write(
       merged.repartition(col("bucket")).sortWithinPartitions("subj", "pred", "obj"),
-      "triples", partitionCols = Seq("bucket"))
+      "triples", partitionCols = if (mergedEmpty) Nil else Seq("bucket"))
 
-    val nTriples = spark.read.parquet(triplesPath(cfg.outDir)).count()
+    // explicit schema: an all-empty write may contain no schema-bearing files
+    val nTriples = spark.read.schema(merged.schema).parquet(triplesPath(cfg.outDir)).count()
     val wallMs = (System.nanoTime() - t0) / 1000000L
     val stats = RunStats(todo.size, committed.size, pages,
       accMentions.value, accCandidates.value, nTriples, wallMs)

@@ -54,4 +54,14 @@ class ResumeSpec extends AnyFunSuite with SharedSpark {
     val expectedPages = spark.read.parquet(pagesPath).filter(col("lang") === "en").count()
     assert(totalPages == expectedPages)
   }
+
+  test("run over input with zero in-scope pages commits a valid empty table") {
+    val dir = SparkKit.sf0001
+    val out = tmp("empty")
+    val stats = Pipeline.run(spark, s"$dir/webpages.parquet",
+      Pipeline.Config(dir, out, langs = Seq("xx"), numParts = 4))
+    assert(stats.triples == 0L)
+    assert(new java.io.File(s"${Pipeline.triplesPath(out)}/_SUCCESS").exists(),
+      "empty run must still commit the output table")
+  }
 }
