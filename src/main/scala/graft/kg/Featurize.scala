@@ -89,6 +89,73 @@ object Featurize {
   def ids(tokens: IndexedSeq[String], m1: Mention, m2: Mention): Array[Long] =
     raw(tokens, m1, m2).map(hash).toArray
 
+  /** Per-sentence featurization session: all position-dependent feature
+    * hashes (between-unigram/bigram, context windows, verb-likeness) are
+    * precomputed ONCE per sentence and reused across every candidate pair —
+    * sentences with m mentions score m·(m-1) pairs, so per-pair string
+    * building would redo the same hashing O(m²·gap) times. Emits EXACTLY the
+    * ids (and order) of `ids(...)` (FeaturizeSessionSpec asserts equality on
+    * the fixture corpus). */
+  final class Session(tokens: IndexedSeq[String]) {
+    private val n = tokens.length
+    // [dir 0=F 1=R][pos]
+    private val uniH = Array.ofDim[Long](2, n)
+    private val biH = Array.ofDim[Long](2, math.max(n - 1, 0))
+    private val befH = Array.ofDim[Long](2, n)
+    private val aftH = Array.ofDim[Long](2, n)
+    private val verb = new Array[Boolean](n)
+    private val dirs = Array("F|", "R|")
+    locally {
+      var i = 0
+      while (i < n) {
+        val t = tokens(i)
+        var d = 0
+        while (d < 2) {
+          uniH(d)(i) = hash(dirs(d) + "btw:" + t)
+          befH(d)(i) = hash(dirs(d) + "bef:" + t)
+          aftH(d)(i) = hash(dirs(d) + "aft:" + t)
+          if (i + 1 < n) biH(d)(i) = hash(dirs(d) + "btw2:" + t + "_" + tokens(i + 1))
+          d += 1
+        }
+        verb(i) = isVerbLike(t)
+        i += 1
+      }
+    }
+
+    /** Hashed feature ids for an ordered pair — same ids, same order, same
+      * multiplicity as Featurize.ids(tokens, m1, m2). */
+    def ids(m1: Mention, m2: Mention): Array[Long] = {
+      val forward = m1.begin <= m2.begin
+      val d = if (forward) 0 else 1
+      val dir = dirs(d)
+      val (left, right) = if (forward) (m1, m2) else (m2, m1)
+      val lo = math.min(math.max(left.end, 0), n)
+      val hi = math.min(math.max(right.begin, 0), n)
+      val out = new scala.collection.mutable.ArrayBuffer[Long](2 * (hi - lo) + 8)
+      var i = lo
+      while (i < hi) {
+        out += uniH(d)(i)
+        if (i + 1 < hi) out += biH(d)(i)
+        i += 1
+      }
+      val chain = new java.lang.StringBuilder()
+      i = lo
+      while (i < hi) {
+        if (verb(i)) { if (chain.length > 0) chain.append('>'); chain.append(tokens(i)) }
+        i += 1
+      }
+      if (chain.length > 0) out += hash(dir + "dep:" + chain.toString)
+      out += hash(dir + "gap:" + math.min(math.max(hi - lo, 0), 10))
+      out += hash(dir + "tp:" + m1.entType + "_" + m2.entType)
+      var k = math.max(left.begin - 2, 0)
+      while (k < left.begin && k < n) { out += befH(d)(k); k += 1 }
+      k = right.end
+      val kEnd = math.min(right.end + 2, n)
+      while (k < kEnd) { if (k >= 0) out += aftH(d)(k); k += 1 }
+      out.toArray
+    }
+  }
+
   /** The context-independent weighted classes of a forward planted instance of
     * `template` — used by the fixture generator to derive the weight table
     * (FIXTURES.md 2.4) with the SAME featurizer the pipeline runs. */

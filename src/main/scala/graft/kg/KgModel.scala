@@ -50,6 +50,10 @@ final class KgModel(
     * deterministic). One relation max per ordered pair. */
   def scoreRelations(tokens: IndexedSeq[String], ms: IndexedSeq[Mention]): Seq[ScoredRelation] = {
     if (ms.length < 2) return Nil
+    // per-sentence precomputed feature hashes pay off once they are shared
+    // across many pairs; for the common 2-mention sentence direct hashing of
+    // the single window is cheaper (identical ids either way)
+    val session = if (ms.length >= 3) new Featurize.Session(tokens) else null
     val out = scala.collection.mutable.ArrayBuffer.empty[ScoredRelation]
     var a = 0
     while (a < ms.length) {
@@ -59,7 +63,9 @@ final class KgModel(
           val m1 = ms(a); val m2 = ms(b)
           val disjoint = m1.end <= m2.begin || m2.end <= m1.begin
           if (disjoint && m1.entityId != m2.entityId) {
-            val fids = Featurize.ids(tokens, m1, m2)
+            val fids =
+              if (session != null) session.ids(m1, m2)
+              else Featurize.ids(tokens, m1, m2)
             var bestIdx = -1
             var bestScore = Double.NegativeInfinity
             var p = 0

@@ -15,11 +15,13 @@ import java.util.regex.Pattern
   * Pinned algorithm (order matters):
   *  1. Decode UTF-8 with U+FFFD replacement for malformed input (total on any
   *     byte array).
-  *  2. Remove, case-insensitively and non-greedily: <script...>...</script>,
-  *     <style...>...</style>, <!-- ... -->.
-  *  3. Replace block-level open/close tags (p div br li ul ol h1..h6 tr table
-  *     section article header footer blockquote) with "\n"; remove every other
-  *     tag ("<" up to the next ">").
+  *  2. Remove, case-insensitively and non-greedily, in ONE left-to-right
+  *     pass: <script...>...</script>, <style...>...</style>, <!-- ... -->
+  *     (leftmost alternative wins; an unclosed construct does not match and
+  *     falls through to step 3's tag handling).
+  *  3. ONE left-to-right tag pass: each "<" up to the next ">" is replaced by
+  *     "\n" when the tag name is block-level (p div br li ul ol h1..h6 tr
+  *     table section article header footer blockquote), by "" otherwise.
   *  4. Decode exactly these entities: &amp; &lt; &gt; &quot; &#39;
   *     &nbsp; (to a plain space), plus numeric &#NNN; / &#xHH; for code points
   *     in [1, 0xFFFF] excluding the surrogate range — anything else is left
@@ -29,12 +31,13 @@ import java.util.regex.Pattern
   *     "\n".
   */
 object Extract {
-  private val ScriptRe  = Pattern.compile("(?is)<script\\b[^>]*>.*?</script[^>]*>")
-  private val StyleRe   = Pattern.compile("(?is)<style\\b[^>]*>.*?</style[^>]*>")
-  private val CommentRe = Pattern.compile("(?s)<!--.*?-->")
-  private val BlockRe = Pattern.compile(
-    "(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|header|footer|blockquote)\\b[^>]*>")
+  // one pass for all removable noise; backreference keeps script/style paired
+  private val NoiseRe = Pattern.compile(
+    "(?is)<(script|style)\\b[^>]*>.*?</\\1[^>]*>|<!--.*?-->")
+  // one pass for every remaining tag; per-match block test decides "\n" vs ""
   private val TagRe = Pattern.compile("(?s)<[^>]*>")
+  private val BlockRe = Pattern.compile(
+    "(?is)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|header|footer|blockquote)\\b[^>]*>")
 
   /** Step 1 — total UTF-8 decode. */
   def decodeUtf8(bytes: Array[Byte]): String = {
@@ -46,15 +49,19 @@ object Extract {
     catch { case _: CharacterCodingException => "" } // unreachable with REPLACE; belt+braces
   }
 
-  /** Steps 2–3 — strip markup. */
+  /** Steps 2–3 — strip markup (two passes total). */
   def stripMarkup(html: String): String = {
-    var s = html
-    s = ScriptRe.matcher(s).replaceAll("")
-    s = StyleRe.matcher(s).replaceAll("")
-    s = CommentRe.matcher(s).replaceAll("")
-    s = BlockRe.matcher(s).replaceAll("\n")
-    s = TagRe.matcher(s).replaceAll("")
-    s
+    val noNoise = NoiseRe.matcher(html).replaceAll("")
+    val m = TagRe.matcher(noNoise)
+    val sb = new java.lang.StringBuilder(noNoise.length)
+    var last = 0
+    while (m.find()) {
+      sb.append(noNoise, last, m.start())
+      if (BlockRe.matcher(m.group()).matches()) sb.append('\n')
+      last = m.end()
+    }
+    sb.append(noNoise, last, noNoise.length)
+    sb.toString
   }
 
   /** Step 4 — fixed-whitelist entity decode (single pass, no re-decode). */
