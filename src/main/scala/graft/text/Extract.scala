@@ -137,7 +137,77 @@ object Extract {
     out.toString
   }
 
+  /** Steps 4+5 fused into one scan (exactly equivalent to
+    * normalizeWhitespace(decodeEntities(s)) — FusedExtractSpec asserts it):
+    * entities decode into the whitespace state machine directly, saving one
+    * full string copy per page on the hot path. */
+  def decodeAndNormalize(s: String): String = {
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var wroteChar = false   // a non-space char written on the current line
+    var wroteLine = false   // any non-empty line written so far
+    var pendingNewline = false
+
+    def emit(ch: Char): Unit = {
+      if (ch == '\n' || ch == '\r') {
+        if (wroteChar) pendingNewline = true
+        wroteChar = false
+        pendingSpace = false
+      } else if (isLineSpace(ch)) {
+        pendingSpace = wroteChar
+      } else {
+        if (!wroteChar && wroteLine && pendingNewline) { out.append('\n'); pendingNewline = false }
+        if (pendingSpace) { out.append(' '); pendingSpace = false }
+        out.append(ch)
+        wroteChar = true
+        wroteLine = true
+      }
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        var advanced = false
+        if (semi > i && semi - i <= 8) {
+          val body = s.substring(i + 1, semi)
+          val rep: String = body match {
+            case "amp"  => "&"
+            case "lt"   => "<"
+            case "gt"   => ">"
+            case "quot" => "\""
+            case "nbsp" => " "
+            case b if b.length >= 2 && b.charAt(0) == '#' =>
+              val numStr = b.substring(1)
+              val cp: Int =
+                try {
+                  if ((numStr.charAt(0) == 'x' || numStr.charAt(0) == 'X') && numStr.length > 1)
+                    Integer.parseInt(numStr.substring(1), 16)
+                  else Integer.parseInt(numStr, 10)
+                } catch { case _: NumberFormatException => -1 }
+              if (cp >= 1 && cp <= 0xFFFF && !(cp >= 0xD800 && cp <= 0xDFFF)) cp.toChar.toString
+              else null
+            case _ => null
+          }
+          if (rep != null) {
+            var k = 0
+            while (k < rep.length) { emit(rep.charAt(k)); k += 1 }
+            i = semi + 1; advanced = true
+          }
+        }
+        if (!advanced) { emit(c); i += 1 }
+      } else if (c == '\r') {
+        // CR and CRLF both normalize to one line break
+        if (i + 1 < n && s.charAt(i + 1) == '\n') i += 1
+        emit('\n'); i += 1
+      } else { emit(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** The pinned end-to-end extraction. Total: never throws on any input. */
   def text(html: Array[Byte]): String =
-    normalizeWhitespace(decodeEntities(stripMarkup(decodeUtf8(html))))
+    decodeAndNormalize(stripMarkup(decodeUtf8(html)))
 }

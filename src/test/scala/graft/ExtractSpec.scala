@@ -71,6 +71,18 @@ class ExtractSpec extends AnyFunSuite {
     }
   }
 
+  test("fused decodeAndNormalize == normalizeWhitespace∘decodeEntities (fuzz)") {
+    val rng = new SplitMix64(0xF05EDL)
+    val frags = Vector("a", "b c", "&amp;", "&#13;", "&#10;", "&nbsp;", "&#9;", "&bogus;",
+      " ", "  ", "\t", "\n", "\r\n", "\r", "&", ";", "&#x41;", "word", ".", "&#xD800;")
+    for (_ <- 1 to 3000) {
+      val s = (0 until rng.nextInt(24)).map(_ => frags(rng.nextInt(frags.length))).mkString
+      val fused = Extract.decodeAndNormalize(s)
+      val twoStep = Extract.normalizeWhitespace(Extract.decodeEntities(s))
+      assert(fused == twoStep, s"divergence on ${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
   test("fuzzed HTML-ish strings: no residual full tags, no CR/tab") {
     val rng = new SplitMix64(0xBEEFL)
     val frags = Vector("<p>", "</p>", "<div >", "<script>", "</script>", "&amp;",
