@@ -21,6 +21,9 @@ object PipelineBench {
     val cpus = if (args.length > 0) args(0).toInt else 32
     val sf = if (args.length > 1) args(1).toDouble else 0.1
     val runs = if (args.length > 2) args(2).toInt else 3
+    // "norepart": extract on input splits instead of the explicit url-hash
+    // exchange (quantifies the repartition's cost; SURVEY.md §4.2.1)
+    val repartitionInput = !(args.length > 3 && args(3) == "norepart")
     val fixDir = s"/root/repo/fixtures/sf$sf"
 
     val spark = SparkSession.builder()
@@ -43,7 +46,7 @@ object PipelineBench {
     def oneRun(r: Int, timed: Boolean): Double = {
       val out = java.nio.file.Files.createTempDirectory(s"bench-$cpus-$r").toString
       val t0 = System.nanoTime()
-      val rels = Stages.extractRelations(webpages, model, Seq("en"), parts)
+      val rels = Stages.extractRelations(webpages, model, Seq("en"), parts, repartitionInput)
       val triples = Stages.mergeTriples(Stages.partialTriples(rels))
       triples.write.mode("overwrite").parquet(s"$out/triples")
       val sec = (System.nanoTime() - t0) / 1e9
