@@ -114,7 +114,24 @@ object SparkEntry {
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n"))),
 
+    "q_agg_cube" -> ((s, d) => t(s, d, "orders")
+      .cube(col("o_orderstatus"), date_format(col("o_orderdate"), "yyyy").as("yr"))
+      .agg(count(lit(1)).as("n"))),
+
     // ---- windows / sort / top-k / set ops ----
+    // batch sessionization via lag(): a new session starts after a >30-min
+    // gap; the streaming twin is graft.streaming.StreamOps.sessionize
+    "q_sessionize_batch" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
     "q_window_rank" -> ((s, d) => t(s, d, "orders")
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("o_custkey"))
@@ -265,6 +282,15 @@ object SparkEntry {
         "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
     "q_distinct" ->
       "SELECT count(*) AS n FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+    "q_agg_cube" ->
+      ("SELECT o_orderstatus, strftime(o_orderdate, '%Y') AS yr, count(*) AS n " +
+        "FROM orders GROUP BY CUBE(o_orderstatus, yr)"),
+    "q_sessionize_batch" ->
+      ("SELECT user_id, cast(sum(new_sess) as bigint) AS n_sessions, count(*) AS n_events FROM " +
+        "(SELECT user_id, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_sess FROM (SELECT user_id, ts, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)) " +
+        "GROUP BY user_id"),
     "q_agg_rollup" ->
       ("SELECT r_name, n_name, count(*) AS n FROM customer " +
         "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
