@@ -201,6 +201,14 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
     }),
 
+    "q_embed_ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 16, iterations = 1)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+        cents, nprobe = 4, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    }),
+
     "q_embed_lsh_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") < 8), emb,

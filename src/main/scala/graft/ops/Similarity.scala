@@ -57,6 +57,82 @@ object Similarity {
     signBits.reduce((a: Column, b: Column) => a + b)
   }
 
+  /** IVF-flat centroids: deterministic seeding (the k vectors with smallest
+    * xxhash64(id)) + `iterations` Lloyd steps computed relationally
+    * (posexplode → per-(cell,dim) mean → re-collect). Returns dense centroid
+    * vectors. k is small (≤ a few hundred): centroids broadcast as plain
+    * arrays. */
+  def ivfCentroids(data: DataFrame, idCol: String, vecCol: String, k: Int,
+                   iterations: Int = 2): Array[Array[Double]] = {
+    val spark = data.sparkSession
+    val seeded = data
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"), xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    var centroids = seeded
+    for (_ <- 1 to iterations) {
+      val assigned = ivfAssign(data, idCol, vecCol, centroids)
+      val means = assigned
+        .select(col("cell"), posexplode(asDouble(col("vec"))).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  private def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length && i < b.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) -1.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Assign each vector to its nearest centroid by cosine (broadcast
+    * centroids, narrow UDF — the classic IVF partitioning step). */
+  def ivfAssign(data: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[Array[Double]]): DataFrame = {
+    val assignUdf = udf { (v: Seq[Float]) =>
+      val vd = v.map(_.toDouble).toArray
+      var best = 0; var bestS = Double.NegativeInfinity; var c = 0
+      while (c < centroids.length) {
+        val s = cosineLocal(vd, centroids(c)); if (s > bestS) { bestS = s; best = c }; c += 1
+      }
+      best
+    }
+    data.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      assignUdf(transform(col(vecCol), x => x.cast("float"))).as("cell"))
+  }
+
+  /** IVF search: probe the nprobe nearest cells per query, equi-join
+    * candidates on cell, rank by cosine — candidate generation touches only
+    * ~nprobe/k of the corpus (the scale path; recall measured vs brute force
+    * in OpsSpec). */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
+              centroids: Array[Array[Double]], nprobe: Int, k: Int): DataFrame = {
+    val probeUdf = udf { (v: Seq[Float]) =>
+      val vd = v.map(_.toDouble).toArray
+      centroids.indices
+        .map(c => (c, cosineLocal(vd, centroids(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1)
+    }
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(probeUdf(transform(col(vecCol), x => x.cast("float")))).as("cell")))
+    val c = ivfAssign(candidates, idCol, vecCol, centroids)
+      .select(col("id").as("neighbor_id"), col("vec").as("cv"), col("cell"))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos"))
+  }
+
   /** Bucketed ANN: join queries to candidates sharing an LSH bucket, then
     * rank within bucket — candidate generation is an equi-join (shuffle on
     * bucket), never a cross product. Recall < 1 by construction; increase

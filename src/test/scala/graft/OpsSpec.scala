@@ -88,6 +88,23 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(res.map(_.toString).sorted.toSeq == res2.map(_.toString).sorted.toSeq)
   }
 
+  test("IVF top-k: deterministic, bounded probes, decent recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 16, iterations = 1)
+    assert(cents.length == 16 && cents.forall(_.length == 64))
+    val queries = emb.filter($"vec_id" < 8)
+    val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding", cents, nprobe = 8, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf intersect bf).size.toDouble / bf.size
+    info(s"IVF recall@10 with nprobe=8/16 cells: $recall")
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    // determinism
+    val cents2 = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 16, iterations = 1)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+  }
+
   test("language ID heuristic identifies planted languages") {
     val samples = Seq(
       (1L, "the cat and the dog are sitting of the garden watching the evening"),
