@@ -1,8 +1,8 @@
 package graft
 
-import graft.fixtures.Gen
-import graft.kg.{Pipeline, Stages}
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.fixtures.{Gen, Vocab}
+import graft.kg.{KgModel, Pipeline, Stages, Train}
+import graft.ops.{Dedup, HashMode, Multimodal, Similarity, TextStats}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -75,6 +75,25 @@ object SparkEntry {
       val b = e.select(col("user_id").as("uid_b"), col("ts").as("ts_b"))
       a.join(b, col("uid_a") === col("uid_b") && col("ts_b") > col("ts_a") &&
         col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }),
+
+    // the scale-safe formulation of q_join_range: the 5-min band becomes part
+    // of the EQUI-join key (ts bucket b and b+1), so the join hashes on
+    // (user_id, bucket) instead of carrying the band as a residual on a
+    // potentially hot user_id — same oracle, same result
+    "q_join_range_bucketed" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val bucket = (c: Column) => floor(unix_timestamp(c) / 300L)
+      val a = e.select(col("user_id").as("uid_a"), col("ts").as("ts_a"),
+        col("event_type"), bucket(col("ts")).as("b_a"))
+      val b = e.select(col("user_id").as("uid_b"), col("ts").as("ts_b"),
+        bucket(col("ts")).as("b_b"))
+      // ts_b in (ts_a, ts_a+5min] implies bucket(ts_b) in {bucket(ts_a), +1}
+      a.withColumn("jb", explode(array(col("b_a"), col("b_a") + 1)))
+        .join(b, col("uid_a") === col("uid_b") && col("jb") === col("b_b") &&
+          col("ts_b") > col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     }),
 
@@ -181,14 +200,22 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, d, "documents").filter(col("doc_id") % 5 === 0),
         "doc_id", "text", "source", shingleN = 1, minJaccardPct = 50)),
 
+    // portable-hash mode: the full band table is replayed bit-exactly by the
+    // DuckDB oracle (HashMode.XxHash is the production-scale default,
+    // identical plan shape — OpsSpec covers it)
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashBands(t(s, d, "documents"), "doc_id", "text",
-        shingleN = 2, numPerm = 32, bands = 8)),
+        shingleN = 1, numPerm = 32, bands = 8, mode = HashMode.PortableMd5)),
 
     "q_dedup_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(Dedup.minhashBands(
         t(s, d, "documents").filter(col("doc_id") % 5 === 0), "doc_id", "text",
-        shingleN = 2, numPerm = 32, bands = 8))),
+        shingleN = 1, numPerm = 32, bands = 8, mode = HashMode.PortableMd5))),
+
+    "q_dedup_jaccard_capped" -> ((s, d) =>
+      Dedup.jaccardPairs(t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", "source", shingleN = 1, minJaccardPct = 50,
+        dfMax = Some(18L))),
 
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashTable(t(s, d, "documents"), "doc_id", "text")),
@@ -232,10 +259,13 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) =>
       TextStats.langId(t(s, d, "documents"), "doc_id", "text")),
 
+    // portable-hash mode: winnowing selection replayed exactly by DuckDB;
+    // fingerprint array is sorted, so element 0 is the min fingerprint
     "q_fingerprint" -> ((s, d) =>
-      TextStats.fingerprints(t(s, d, "documents"), "doc_id", "text")
-        .select(col("doc_id"), size(col("fingerprint")).cast("long").as("n_grams"),
-          Dedup.hamming(get(col("fingerprint"), lit(0)), lit(0L)).as("first_bits"))),
+      TextStats.fingerprints(t(s, d, "documents"), "doc_id", "text",
+        mode = HashMode.PortableMd5)
+        .select(col("doc_id"), size(col("fingerprint")).cast("long").as("n_fp"),
+          get(col("fingerprint"), lit(0)).as("fp_min"))),
 
     // ---- multimodal plumbing ----
     "q_binary_meta" -> ((s, d) => t(s, d, "documents")
@@ -247,8 +277,33 @@ object SparkEntry {
       val media = Multimodal.withMeta(
         t(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("bin")),
         "doc_id", "bin")
+      // the sha256 submetric rides through the real mapPartitions decode path
+      // and is DuckDB-checkable; the histogram feature is covered by OpsSpec
       Multimodal.decodeBatch(s, media).toDF()
-        .select(col("media_id"), col("n_bytes"), round(get(col("histogram"), lit(0)), 4).as("h0"))
+        .select(col("media_id"), col("n_bytes"), col("content_sha256"))
+    }),
+
+    // ---- in-engine training: the distant-supervision labeling join ----
+    // one relational pass: candidates × type-matching predicates, left-join
+    // the gold KB -> per-predicate candidate/positive counts (deterministic;
+    // the LR fit itself is exercised by TrainSpec's learned-weights P/R gate)
+    "q_train_labels" -> ((s, _) => {
+      import s.implicits._
+      val dictModel = KgModel.fromData(s, Vocab.dictEntries, Vocab.predicates, Nil, 0.0)
+      val tokenized = Stages.tokenized(Stages.sentences(Stages.pageText(
+        Stages.partitioned(Gen.webpagesDF(s, 150), Seq("en"), 8))))
+      val cands = Train.candidateInstances(tokenized, dictModel)
+      val predsDf = broadcast(Vocab.predicates
+        .map(p => (p.pred, p.subjType, p.objType))
+        .toDF("pred", "subj_type", "obj_type"))
+      val kb = broadcast(Gen.goldDF(s, 0, 150)
+        .select(col("subj"), col("pred"), col("obj")).distinct()
+        .withColumn("label", lit(1L)))
+      cands.join(predsDf, Seq("subj_type", "obj_type"))
+        .join(kb, Seq("subj", "pred", "obj"), "left")
+        .groupBy(col("pred"))
+        .agg(count(lit(1)).as("n_cand"),
+          sum(coalesce(col("label"), lit(0L))).cast("long").as("n_pos"))
     }),
 
     // ---- the KG pipeline itself as a harness query ----
@@ -277,6 +332,11 @@ object SparkEntry {
       ("SELECT c_custkey, c_name FROM customer WHERE c_custkey IN " +
         "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')"),
     "q_join_range" ->
+      ("SELECT a.event_type AS event_type, count(*) AS n FROM events a JOIN events b " +
+        "ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE " +
+        "GROUP BY a.event_type"),
+    // same semantics as q_join_range — the bucketing is a plan-level rewrite
+    "q_join_range_bucketed" ->
       ("SELECT a.event_type AS event_type, count(*) AS n FROM events a JOIN events b " +
         "ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE " +
         "GROUP BY a.event_type"),
@@ -336,6 +396,30 @@ object SparkEntry {
         "SELECT doc_a, doc_b, cast(p.inter as bigint) AS inter, cast(sa.sz + sb.sz - p.inter as bigint) AS uni " +
         "FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id JOIN sizes sb ON p.doc_b = sb.doc_id " +
         "WHERE p.inter * 100 >= (sa.sz + sb.sz - p.inter) * 50"),
+    "q_dedup_jaccard_capped" ->
+      ("WITH d AS (SELECT * FROM documents WHERE doc_id % 5 = 0), " +
+        "tok0 AS (SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS tok FROM d), " +
+        "dfok AS (SELECT source, tok FROM tok0 GROUP BY source, tok HAVING count(*) <= 18), " +
+        "tok AS (SELECT t.doc_id, t.source, t.tok FROM tok0 t JOIN dfok USING (source, tok)), " +
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id), " +
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter FROM tok a " +
+        "JOIN tok b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, cast(p.inter as bigint) AS inter, cast(sa.sz + sb.sz - p.inter as bigint) AS uni " +
+        "FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id JOIN sizes sb ON p.doc_b = sb.doc_id " +
+        "WHERE p.inter * 100 >= (sa.sz + sb.sz - p.inter) * 50"),
+    "q_dedup_minhash" ->
+      (Dedup.minhashBandsOracleCte("", numPerm = 32, bands = 8) +
+        " SELECT doc_id, band, band_hash FROM band"),
+    "q_dedup_minhash_pairs" ->
+      (Dedup.minhashBandsOracleCte("WHERE doc_id % 5 = 0", numPerm = 32, bands = 8) +
+        " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b " +
+        "ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"),
+    "q_dedup_simhash" -> Dedup.simhashOracleSql,
+    "q_fingerprint" -> TextStats.fingerprintOracleSql(k = 8, window = 4),
+    "q_lang_id" -> TextStats.langIdOracleSql,
+    "q_media_features" ->
+      ("SELECT doc_id AS media_id, cast(octet_length(encode(text)) as bigint) AS n_bytes, " +
+        "sha256(text) AS content_sha256 FROM documents"),
     "q_embed_topk" ->
       ("SELECT query_id, neighbor_id, rnk FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
         "cast(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +

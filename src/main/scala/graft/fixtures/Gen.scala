@@ -148,9 +148,15 @@ object Gen {
   def pageCount(sf: Double): Long = math.max(50L, (sf * 500000).toLong)
 
   /** In-memory webpages DataFrame — no disk I/O (flagship/harness use). */
-  def webpagesDF(spark: SparkSession, nPages: Long): DataFrame = {
+  def webpagesDF(spark: SparkSession, nPages: Long): DataFrame =
+    webpagesDF(spark, 0L, nPages)
+
+  /** Doc-id range variant: pages [from, until) — disjoint ranges give honest
+    * train/held-out splits (generation is keyed per doc_id, so any range is
+    * self-consistent). */
+  def webpagesDF(spark: SparkSession, from: Long, until: Long): DataFrame = {
     import spark.implicits._
-    spark.range(nPages)
+    spark.range(from, until)
       .repartition(spark.sparkContext.defaultParallelism)
       .map { docId =>
         val plan = pagePlan(docId)
@@ -158,6 +164,20 @@ object Gen {
         (plan.url, plan.warcTs, html, Extract.text(html), plan.lang)
       }
       .toDF("url", "warc_ts", "html", "text", "lang")
+  }
+
+  /** In-memory gold-KB triples for pages [from, until) (en plants only —
+    * same rule as the on-disk gold_triples table). */
+  def goldDF(spark: SparkSession, from: Long, until: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(from, until)
+      .flatMap { docId =>
+        val plan = pagePlan(docId)
+        if (plan.lang == "en") plan.plants.map(p => (p.subj, p.pred, p.obj)) else Nil
+      }
+      .toDF("subj", "pred", "obj")
+      .groupBy("subj", "pred", "obj")
+      .count().withColumnRenamed("count", "n_mentions")
   }
 
   /** In-memory broadcast model — no disk I/O (flagship/harness use). */

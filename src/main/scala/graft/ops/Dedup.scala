@@ -9,15 +9,20 @@ import org.apache.spark.sql.functions._
   *
   * All operators take a (docId, text) frame, work on token sets/shingles, and
   * are expressed Catalyst-first: tokenize with built-ins, signatures with
-  * higher-order functions over xxhash64 (codegen'd), candidate pairing with
-  * aggregate/join — no driver-side loops, so every one of them scales by
-  * partitioning. SimHash is the one sanctioned UDF (bit-twiddling).
+  * higher-order functions over hash built-ins (codegen'd), candidate pairing
+  * with aggregate/join — no driver-side loops, so every one of them scales by
+  * partitioning. Signature hashing is switchable ([[HashMode]]): xxhash64 at
+  * scale, the md5-derived portable family when the run must be replayable in
+  * DuckDB (the correctness-harness mode — minhash/simhash get EXACT oracles).
   */
 object Dedup {
 
+  /** Whitespace tokens (empty runs dropped), order preserved. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
   /** Distinct whitespace tokens per doc as a column. */
-  def tokenSet(text: Column): Column =
-    array_distinct(filter(split(text, " "), t => length(t) > 0))
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
   /** Word n-gram shingles (n>=1) of a token array, joined by '_'. */
   def shingles(tokens: Column, n: Int): Column =
@@ -28,6 +33,11 @@ object Dedup {
           when(i <= size(tokens) - n,
             concat_ws("_", (0 until n).map(k => get(tokens, i + k)): _*))),
         s => s.isNotNull)
+
+  /** Distinct n-gram shingles over the RAW token sequence (shingling before
+    * dedup — consecutive-token n-grams, then set semantics). */
+  def shingleSet(text: Column, n: Int): Column =
+    if (n == 1) tokenSet(text) else array_distinct(shingles(tokens(text), n))
 
   /** Exact dedup: documents grouped by full-content hash; returns
     * (content_hash, n_docs, min_doc_id) for groups — the survivors are the
@@ -41,22 +51,41 @@ object Dedup {
     * collision probability per band = jaccard^rowsPerBand.
     *
     * Shape note: the signature is computed by EXPLODING shingles and taking
-    * numPerm `min(xxhash64(shingle, p))` aggregates in one groupBy — NOT by
-    * nesting array HOFs. Nested lambdas over a derived array re-inline the
-    * producing expression per element after CollapseProject (measured ~100x
-    * slowdown), while explode+min gets hash aggregation with map-side partial
-    * combine — the formulation that scales. */
+    * numPerm `min(h_p(shingle))` aggregates in one groupBy — NOT by nesting
+    * array HOFs. Nested lambdas over a derived array re-inline the producing
+    * expression per element after CollapseProject (measured ~100x slowdown),
+    * while explode+min gets hash aggregation with map-side partial combine —
+    * the formulation that scales.
+    *
+    * mode=PortableMd5 swaps xxhash64 for the md5-derived universal-hash
+    * family ([[Portable]]) — same plan shape, and DuckDB can replay the whole
+    * band table bit-exactly (the harness oracle does). */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int = 3, numPerm: Int = 32, bands: Int = 8): DataFrame = {
+                   shingleN: Int = 3, numPerm: Int = 32, bands: Int = 8,
+                   mode: HashMode = HashMode.XxHash): DataFrame = {
     val rowsPerBand = numPerm / bands
     val exploded = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(tokenSet(col(textCol)), shingleN)).as("shingle"))
-    val minCols = (0 until numPerm).map(p =>
-      min(xxhash64(col("shingle"), lit(p))).as(s"m$p"))
-    val sig = exploded.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      explode(shingleSet(col(textCol), shingleN)).as("shingle"))
+    val withBase = mode match {
+      case HashMode.PortableMd5 => exploded.withColumn("base", Portable.md5h60(col("shingle")))
+      case HashMode.XxHash      => exploded
+    }
+    val minCols = (0 until numPerm).map { p =>
+      val h = mode match {
+        case HashMode.PortableMd5 => Portable.permHash(p, col("base"))
+        case HashMode.XxHash      => xxhash64(col("shingle"), lit(p))
+      }
+      min(h).as(s"m$p")
+    }
+    val sig = withBase.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
       val slots = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(concat_ws(",", slots: _*)).as("band_hash"))
+      val joined = concat_ws(",", slots: _*)
+      val bh = mode match {
+        case HashMode.PortableMd5 => Portable.md5h60(joined)
+        case HashMode.XxHash      => xxhash64(joined)
+      }
+      struct(lit(b.toLong).as("band"), bh.as("band_hash"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
@@ -76,11 +105,29 @@ object Dedup {
   /** Exact n-gram Jaccard pairs via inverted-index join: explode distinct
     * shingles, self-join on (blockCol, shingle), count intersections, compute
     * |A∪B| from per-doc sizes. blockCol bounds the candidate space (blocking
-    * key — e.g. source, language, or an LSH bucket at scale). */
+    * key — e.g. source, language, or an LSH bucket at scale).
+    *
+    * dfMax is the inverted-index document-frequency cutoff: a shingle shared
+    * by d docs inside one block produces d^2 join rows, so at 100 TB one
+    * stop-shingle would dominate the shuffle. With dfMax set, shingles whose
+    * per-block df exceeds it are dropped from the UNIVERSE (both intersection
+    * and sizes) — standard stop-shingle pruning; Jaccard is then exact over
+    * the capped shingle universe, which keeps the result deterministic and
+    * SQL-expressible (q_dedup_jaccard_capped carries an exact oracle). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   blockCol: String, shingleN: Int, minJaccardPct: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
-        explode(shingles(tokenSet(col(textCol)), shingleN)).as("shingle"))
+                   blockCol: String, shingleN: Int, minJaccardPct: Int,
+                   dfMax: Option[Long] = None): DataFrame = {
+    val toks0 = docs.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+        explode(shingleSet(col(textCol), shingleN)).as("shingle"))
+    val toks = dfMax match {
+      case Some(m) =>
+        // shingles are distinct per doc, so count(*) per (block, shingle) = df
+        val ok = toks0.groupBy(col("block"), col("shingle"))
+          .agg(count(lit(1)).as("df")).filter(col("df") <= m)
+          .select(col("block"), col("shingle"))
+        toks0.join(ok, Seq("block", "shingle"), "left_semi")
+      case None => toks0
+    }
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = toks.as("a").join(toks.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.block") === col("b.block") &&
@@ -96,27 +143,54 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
   }
 
-  /** 64-bit SimHash over tokens (UDF island: per-bit majority vote). Near-dups
-    * have small hamming distance between simhashes. */
-  val simhash64 = udf { (tokens: Seq[String]) =>
-    val counts = new Array[Int](64)
-    tokens.foreach { t =>
-      val h = scala.util.hashing.MurmurHash3.stringHash(t, 4242).toLong & 0xFFFFFFFFL
-      val h2 = (scala.util.hashing.MurmurHash3.stringHash(t, 1717).toLong & 0xFFFFFFFFL) << 32
-      val hh = h | h2
-      var b = 0
-      while (b < 64) { counts(b) += (if (((hh >>> b) & 1L) == 1L) 1 else -1); b += 1 }
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
-    out
+  /** 60-bit SimHash over whitespace tokens (with multiplicity): per-bit
+    * majority vote of md5h60 token hashes.
+    *
+    * Shape note: formulated as explode + 60 conditional-sum aggregates in ONE
+    * groupBy — map-side partial combine, whole-stage codegen, no per-row UDF
+    * (the round-1 UDF island is gone), and bit-identical in DuckDB, so the
+    * harness q_dedup_simhash carries an EXACT oracle. */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", Portable.md5h60(col("tok")))
+    val sums = (0 until 60).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$b"))
+    val agg = tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val sim = (0 until 60).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash"))
   }
-
-  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      simhash64(filter(split(col(textCol), " "), t => length(t) > 0)).as("simhash"))
 
   /** Hamming distance between two simhash columns (pure Catalyst). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- DuckDB oracle generators (exact replays of the PortableMd5 mode;
+  //      kept NEXT to the ops so the SQL and the Column exprs share the
+  //      Portable constants and can't drift apart) ----
+
+  /** WITH-prefix replaying minhashBands(mode=PortableMd5, shingleN=1) over
+    * the `documents` table; ends in CTE band(doc_id, band, band_hash). */
+  def minhashBandsOracleCte(filterSql: String, numPerm: Int, bands: Int): String = {
+    val rowsPerBand = numPerm / bands
+    s"WITH d AS (SELECT doc_id, text FROM documents $filterSql), " +
+      "tok AS (SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), " +
+      "t -> length(t) > 0))) AS shingle FROM d), " +
+      s"base AS (SELECT doc_id, ${Portable.md5h60Sql("shingle")} AS h FROM tok), " +
+      s"hp AS (SELECT doc_id, p, min(${Portable.permHashSqlByP("p", "h")}) AS m " +
+      s"FROM base, (SELECT unnest(range($numPerm)) AS p) GROUP BY doc_id, p), " +
+      s"band AS (SELECT doc_id, p // $rowsPerBand AS band, " +
+      s"${Portable.md5h60Sql("array_to_string(list(m::VARCHAR ORDER BY p), ',')")} AS band_hash " +
+      s"FROM hp GROUP BY doc_id, p // $rowsPerBand)"
+  }
+
+  /** DuckDB replay of simhashTable over the `documents` table. */
+  def simhashOracleSql: String =
+    "WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), " +
+      "t -> length(t) > 0)) AS tok FROM documents), " +
+      s"h AS (SELECT doc_id, ${Portable.md5h60Sql("tok")} AS h FROM tok), " +
+      "bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s " +
+      "FROM h, (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b) " +
+      "SELECT doc_id, cast(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) as bigint) " +
+      "AS simhash FROM bits GROUP BY doc_id"
 }

@@ -27,18 +27,23 @@ object Multimodal {
         hex(substring(col(binCol), 1, 4)).as("magic"),
         crc32(col(binCol)).as("crc")).as("meta"))
 
-  final case class MediaFeature(media_id: Long, n_bytes: Long, histogram: Array[Double])
+  final case class MediaFeature(media_id: Long, n_bytes: Long,
+                                content_sha256: String, histogram: Array[Double])
 
-  /** The per-item "decoder" (STUB — see object scaladoc). Total. */
+  /** The per-item "decoder" (STUB — see object scaladoc). Total. Emits the
+    * byte-histogram stand-in feature plus a content sha256 (hex) — the digest
+    * is the externally-checkable submetric (DuckDB computes the same sha256,
+    * so q_media_features carries an exact oracle on real decode-path output). */
   def decodeOne(id: Long, payload: Array[Byte]): MediaFeature = {
     val hist = new Array[Double](16)
-    if (payload != null) {
-      val n = math.min(payload.length, 4096)
-      var i = 0
-      while (i < n) { hist((payload(i) & 0xF0) >> 4) += 1.0; i += 1 }
-      if (n > 0) { var b = 0; while (b < 16) { hist(b) /= n; b += 1 } }
-    }
-    MediaFeature(id, if (payload == null) 0L else payload.length.toLong, hist)
+    val bytes = if (payload == null) Array.emptyByteArray else payload
+    val n = math.min(bytes.length, 4096)
+    var i = 0
+    while (i < n) { hist((bytes(i) & 0xF0) >> 4) += 1.0; i += 1 }
+    if (n > 0) { var b = 0; while (b < 16) { hist(b) /= n; b += 1 } }
+    val digest = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+    val sha = digest.map(b => f"${b & 0xff}%02x").mkString
+    MediaFeature(id, bytes.length.toLong, sha, hist)
   }
 
   /** Batched feature extraction: mapPartitions over (id, payload) in fixed

@@ -11,7 +11,8 @@ object TextStats {
 
   /** Tiny per-language character-trigram profiles (hand-pinned marker n-grams;
     * a deterministic heuristic, not a trained model — documented limitation).
-    * Score = marker hits per language; argmax with 'und' fallback. */
+    * Score = non-overlapping marker occurrences per language; argmax with
+    * 'und' fallback. */
   private val Profiles: Map[String, Seq[String]] = Map(
     "en" -> Seq(" th", "the", "he ", " an", "and", "ing", " of", "ion", " to", "ed "),
     "de" -> Seq(" de", "der", "ie ", "ein", "sch", "ich", "nd ", "die", "und", "cht"),
@@ -19,26 +20,27 @@ object TextStats {
     "fr" -> Seq(" de", "de ", " le", "es ", "le ", "ent", " la", "que", "ion", "eur"),
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "中", "人", "国", "一"))
 
-  /** UDF island: count marker hits per language, emit argmax (ties → language
-    * name order; < 2 hits → "und"). */
-  val langIdUdf = udf { (text: String) =>
-    if (text == null || text.isEmpty) "und"
-    else {
-      val t = " " + text.toLowerCase(java.util.Locale.ROOT) + " "
-      val best = Profiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
-        var hits = 0
-        grams.foreach { g =>
-          var idx = t.indexOf(g)
-          while (idx >= 0) { hits += 1; idx = t.indexOf(g, idx + 1) }
-        }
-        (lang, hits)
-      }.maxBy(_._2)
-      if (best._2 >= 2) best._1 else "und"
-    }
-  }
+  /** Non-overlapping occurrence count of literal `g` in `t` — pure Catalyst
+    * (length-difference after replace), identical in DuckDB. The difference
+    * is always an exact multiple of the gram length, so the cast is exact. */
+  private def occurrences(t: Column, g: String): Column =
+    ((length(t) - length(replace(t, lit(g), lit("")))) / g.length).cast("long")
 
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), langIdUdf(col(textCol)).as("lang_pred"))
+  /** Language ID, UDF-free: marker-gram hit counts per language summed as
+    * built-in expressions, argmax via array_sort over (-hits, lang) structs
+    * (ties -> language name order; < 2 hits -> "und"). Whole-stage codegen
+    * end-to-end, and exactly replayable in DuckDB (the q_lang_id oracle). */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
+    val entries = Profiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
+      val hits = grams.map(g => occurrences(padded, g)).reduce(_ + _)
+      struct((-hits).as("nh"), lit(lang).as("lang"))
+    }
+    val best = element_at(array_sort(array(entries: _*)), 1)
+    docs.select(col(idCol).as("doc_id"),
+      when(col(textCol).isNull || (-best.getField("nh")) < 2, lit("und"))
+        .otherwise(best.getField("lang")).as("lang_pred"))
+  }
 
   /** Quality stats, all integer-exact (oracle-friendly): chars, tokens,
     * non-space chars, longest token, alpha-char count. */
@@ -65,10 +67,11 @@ object TextStats {
 
   /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): rolling hashes of
     * char k-grams, minimum per window, distinct — the standard near-dup /
-    * provenance fingerprint. Pure Catalyst: substring k-grams via transform
-    * over a sequence, window-min via nested slice. */
+    * provenance fingerprint. mode=PortableMd5 swaps xxhash64 for md5h60 so
+    * DuckDB replays the selection bit-exactly (q_fingerprint oracle). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int = 8, window: Int = 4): DataFrame = {
+                   k: Int = 8, window: Int = 4,
+                   mode: HashMode = HashMode.XxHash): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val txt = col(textCol)
     // Shape note: the k-gram hashes are one flat HOF over the text column
@@ -77,12 +80,16 @@ object TextStats {
     // lambda re-inlines the gram computation per element after
     // CollapseProject — O(n^2) per row, measured 537s vs ~1s on sf0.1.
     val nGrams = length(txt) - (k - 1)
+    def gramHash(i: Column): Column = mode match {
+      case HashMode.PortableMd5 => Portable.md5h60(txt.substr(i, lit(k)))
+      case HashMode.XxHash      => xxhash64(txt.substr(i, lit(k)))
+    }
     val grams = docs
       .filter(nGrams >= 1) // guard: sequence(a, b) DESCENDS when a > b
       .select(col(idCol).as("doc_id"),
         greatest(nGrams - (window - 1), lit(1)).as("nkeep"), // known pre-explode
-        posexplode(transform(sequence(lit(1), nGrams),
-          i => xxhash64(txt.substr(i, lit(k))))).as(Seq("pos", "h")))
+        posexplode(transform(sequence(lit(1), nGrams), i => gramHash(i)))
+          .as(Seq("pos", "h")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, window - 1)
     val nWinOk = grams
@@ -91,5 +98,37 @@ object TextStats {
     nWinOk.groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("winmin"))).as("fingerprint"))
       .filter(size(col("fingerprint")) > 0)
+  }
+
+  // ---- DuckDB oracle generators (exact replays of the PortableMd5 mode) ----
+
+  /** DuckDB replay of fingerprints(mode=PortableMd5) over `documents`,
+    * emitting (doc_id, n_fp, fp_min). */
+  def fingerprintOracleSql(k: Int = 8, window: Int = 4): String = {
+    // Spark pos is 0-based with pos < nkeep; SQL i is 1-based with i <= nkeep
+    s"WITH g AS (SELECT doc_id, text, greatest(length(text) - ${k - 1 + window - 1}, 1) AS nkeep, " +
+      s"unnest(range(1, length(text) - ${k - 2})) AS i FROM documents WHERE length(text) >= $k), " +
+      s"h AS (SELECT doc_id, nkeep, i, ${Portable.md5h60Sql(s"substr(text, i, $k)")} AS h FROM g), " +
+      "win AS (SELECT doc_id, nkeep, i, min(h) OVER (PARTITION BY doc_id ORDER BY i " +
+      s"ROWS BETWEEN CURRENT ROW AND ${window - 1} FOLLOWING) AS wm FROM h) " +
+      "SELECT doc_id, cast(count(DISTINCT wm) AS BIGINT) AS n_fp, min(wm) AS fp_min " +
+      "FROM win WHERE i <= nkeep GROUP BY doc_id"
+  }
+
+  /** DuckDB replay of langId over `documents` (same profiles, same
+    * non-overlapping counting, same tie-break and threshold). */
+  def langIdOracleSql: String = {
+    val hitCols = Profiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
+      val sum = grams.map(g =>
+        s"((length(t) - length(replace(t, '$g', ''))) // ${g.length})").mkString(" + ")
+      s"($sum) AS h_$lang"
+    }.mkString(", ")
+    val structs = Profiles.keys.toSeq.sorted.map(l =>
+      s"{'nh': -h_$l, 'lang': '$l'}").mkString(", ")
+    "WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents), " +
+      s"hits AS (SELECT doc_id, $hitCols FROM t), " +
+      s"best AS (SELECT doc_id, list_sort([$structs])[1] AS b FROM hits) " +
+      "SELECT doc_id, CASE WHEN -(struct_extract(b, 'nh')) >= 2 " +
+      "THEN struct_extract(b, 'lang') ELSE 'und' END AS lang_pred FROM best"
   }
 }
