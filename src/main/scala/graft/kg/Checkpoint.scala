@@ -12,7 +12,14 @@ import org.apache.spark.sql.functions._
   * partial output is written with dynamic partition overwrite — a rerun
   * replaces exactly the partitions it recomputes, making commits idempotent.
   * Manifest rows double as per-partition lineage: input pages, distinct
-  * triples, evidence mentions, an order-independent checksum, and wall time.
+  * triples, evidence mentions, an order-independent checksum, and the shared
+  * wall-clock of the run that committed the part (run-level, not per-part —
+  * parts of one run are processed concurrently).
+  *
+  * All existence probes go through the Hadoop FileSystem API, so the manifest
+  * protocol works unchanged when outDir is HDFS/S3 under spark-submit (a
+  * java.io.File probe would silently report "absent" there and reprocess —
+  * or worse, finalize over nothing).
   */
 object Checkpoint {
   final case class ManifestRow(
@@ -21,9 +28,14 @@ object Checkpoint {
 
   def manifestPath(outDir: String) = s"$outDir/_manifest"
 
+  /** Hadoop-FS existence probe (works for local, HDFS, S3A, ... paths). */
+  def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   def committedParts(spark: SparkSession, outDir: String): Set[Int] = {
-    val p = new java.io.File(manifestPath(outDir))
-    if (!p.exists()) Set.empty
+    if (!pathExists(spark, manifestPath(outDir))) Set.empty
     else {
       import spark.implicits._
       spark.read.parquet(manifestPath(outDir))
@@ -38,20 +50,26 @@ object Checkpoint {
       rows.toDF().coalesce(1).write.mode(SaveMode.Append).parquet(manifestPath(outDir))
   }
 
-  /** Per-part lineage stats from a partial-triples frame (one pass). */
-  def partStats(partials: DataFrame, pagesPerPart: DataFrame, wallMs: Long): Seq[ManifestRow] = {
+  /** Per-part lineage stats from a partial-triples frame (one pass). `todo`
+    * seeds the row set: every attempted part gets a 'done' row even when it
+    * held zero in-scope pages or produced zero triples — otherwise an empty
+    * part would be missing from the manifest and recomputed on EVERY resume.
+    * wall_ms is the shared run wall clock (see object scaladoc). */
+  def partStats(todo: Seq[Int], partials: DataFrame, pagesPerPart: DataFrame,
+                wallMs: Long): Seq[ManifestRow] = {
     val stats = partials
       .groupBy(col("part_id"))
       .agg(count(lit(1)).as("n_triples"), sum(col("n")).as("n_evidence"),
         // xor-fold: order-independent, overflow-free content checksum
         bit_xor(xxhash64(col("subj"), col("pred"), col("obj"), col("n"))).as("checksum"))
       .join(pagesPerPart, Seq("part_id"), "full_outer")
-    stats.na.fill(0L, Seq("n_triples", "n_evidence", "checksum", "n_pages"))
+    val byPart = stats.na.fill(0L, Seq("n_triples", "n_evidence", "checksum", "n_pages"))
       .collect()
-      .map(r => ManifestRow(
+      .map(r => r.getAs[Int]("part_id") -> ManifestRow(
         r.getAs[Int]("part_id"), "done", r.getAs[Long]("n_pages"),
         r.getAs[Long]("n_triples"), r.getAs[Long]("n_evidence"),
         r.getAs[Long]("checksum"), wallMs))
-      .toSeq
+      .toMap
+    todo.map(p => byPart.getOrElse(p, ManifestRow(p, "done", 0L, 0L, 0L, 0L, wallMs)))
   }
 }

@@ -15,6 +15,12 @@ final class KgModel(
     val weights: Array[Array[Double]], // [predIdx][featureId]
     val tau: Double) extends Serializable {
 
+  /** Aho–Corasick automaton over the same dictionary (A6 mode "aho") —
+    * transient+lazy so it is built once per executor JVM on first use, never
+    * serialized with the broadcast. Equivalence with scanMentions is asserted
+    * by AhoSpec/PipelineSpec. */
+  @transient lazy val aho: TokenAho = TokenAho.build((uni.values ++ bi.values).toSeq)
+
   /** Greedy longest-match dictionary scan over lowercase tokens (pinned
     * semantics, SURVEY.md §2 A6): at each position prefer the 2-gram match,
     * consume matched tokens, advance. The broadcast-join implementation in

@@ -18,14 +18,26 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * with per-part manifest checkpointing/resume [A13] and metrics [A14].
   */
 object Pipeline {
+  /** mentionMode selects the A6 dictionary-scan implementation inside the
+    * fused relations UDF: "scan" = the 1/2-gram hash-map greedy scan (default;
+    * exactly the fixture dictionary's shape), "aho" = the token-level
+    * Aho–Corasick automaton (same greedy semantics — AhoSpec asserts equality
+    * — but handles arbitrary-length surfaces in one O(sentence) pass). The
+    * fully-relational broadcast-join mode lives in [[MentionJoin]] (a
+    * different dataflow, used when mentions themselves are the product). */
   final case class Config(
       fixturesDir: String,
       outDir: String,
       langs: Seq[String] = Seq("en"),
       numParts: Int = 64,
       numBuckets: Int = 16,
-      repartitionInput: Boolean = true)
+      repartitionInput: Boolean = true,
+      mentionMode: String = "scan")
 
+  /** `mentions`/`candidates` come from task-side accumulators: retried or
+    * speculatively-executed tasks double-count, so treat them as approximate
+    * telemetry; `pages`/`triples` are exact (committed manifest / output
+    * table counts). */
   final case class RunStats(
       partsProcessed: Int, partsSkipped: Int, pages: Long, mentions: Long,
       candidates: Long, triples: Long, wallMs: Long)
@@ -45,7 +57,8 @@ object Pipeline {
   def triples(spark: SparkSession, webpages: DataFrame, model: Broadcast[KgModel],
               cfg: Config): DataFrame = {
     val rels = Stages.extractRelations(
-      webpages, model, cfg.langs, cfg.numParts, cfg.repartitionInput)
+      webpages, model, cfg.langs, cfg.numParts, cfg.repartitionInput,
+      mentionMode = cfg.mentionMode)
     Stages.mergeTriples(Stages.partialTriples(rels))
       .select(col("subj"), col("pred"), col("obj"), col("score"),
         col("n_evidence"), col("first_url"))
@@ -74,7 +87,7 @@ object Pipeline {
         .filter(col("part_id").isin(todo: _*))
       val rels = Stages.relations(
         Stages.tokenized(Stages.sentences(Stages.pageText(part))),
-        model, Some(accMentions), Some(accCandidates))
+        model, Some(accMentions), Some(accCandidates), cfg.mentionMode)
       val partials = Stages.partialTriples(rels)
 
       // dynamic partition overwrite: a rerun replaces exactly the part dirs
@@ -87,10 +100,19 @@ object Pipeline {
           "html"), cfg.langs, cfg.numParts, repartitionInput = false)
         .filter(col("part_id").isin(todo: _*))
         .groupBy(col("part_id")).agg(count(lit(1)).as("n_pages"))
+      // commit rule: a part PRESENT in the input commits 'done' even when all
+      // its pages are out of scope (0 in-scope pages — without this it would
+      // be recomputed on every resume); a part with NO input pages at all is
+      // treated as not-yet-seen (an interrupted run's unseen input must stay
+      // uncommitted — ResumeSpec's crash model)
+      val presentParts = webpages
+        .select(pmod(xxhash64(col("url")), lit(cfg.numParts.toLong)).cast("int").as("part_id"))
+        .distinct().collect().map(_.getInt(0)).toSet
       val wallMs = (System.nanoTime() - t0) / 1000000L
       val partialsBack = spark.read.schema(partialsSchema).parquet(partialsPath(cfg.outDir))
         .filter(col("part_id").isin(todo: _*))
-      val rows = Checkpoint.partStats(partialsBack, pagesPerPart, wallMs)
+      val rows = Checkpoint.partStats(todo.filter(presentParts.contains),
+        partialsBack, pagesPerPart, wallMs)
       Checkpoint.commit(spark, cfg.outDir, rows)
       pages = rows.map(_.n_pages).sum
     }
@@ -99,7 +121,7 @@ object Pipeline {
     // whose input produced no partials (e.g. no pages in scope) still commits
     // a valid empty output table.
     val partials0 =
-      if (new java.io.File(partialsPath(cfg.outDir)).exists())
+      if (Checkpoint.pathExists(spark, partialsPath(cfg.outDir)))
         spark.read.schema(partialsSchema).parquet(partialsPath(cfg.outDir)).drop("part_id")
       else
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -56,14 +56,20 @@ object Stages {
   /** A6–A10 fused: greedy dictionary scan → ordered pair candidates →
     * hashed featurization → broadcast-weights scoring → linked relations.
     * One narrow UDF (tokens in, scored relations out) so Catalyst can prune
-    * every other column; accumulators feed per-run metrics (A14). */
+    * every other column; accumulators feed per-run metrics (A14 — approximate
+    * under task retries, see Pipeline.RunStats). mentionMode "scan" | "aho"
+    * selects the A6 implementation (Pipeline.Config scaladoc). */
   def relations(tokenized: DataFrame, model: Broadcast[KgModel],
                 accMentions: Option[LongAccumulator] = None,
-                accCandidates: Option[LongAccumulator] = None): DataFrame = {
+                accCandidates: Option[LongAccumulator] = None,
+                mentionMode: String = "scan"): DataFrame = {
+    require(mentionMode == "scan" || mentionMode == "aho",
+      s"unknown mentionMode '$mentionMode' (expected scan|aho)")
+    val useAho = mentionMode == "aho"
     val scoreUdf = udf { (tokens: Seq[String]) =>
       val m = model.value
       val toks = tokens.toIndexedSeq
-      val ms = m.scanMentions(toks)
+      val ms = if (useAho) m.aho.scanGreedy(toks) else m.scanMentions(toks)
       accMentions.foreach(_.add(ms.length.toLong))
       if (ms.length >= 2) {
         accCandidates.foreach(_.add((ms.length.toLong * (ms.length - 1))))
@@ -82,26 +88,35 @@ object Stages {
                        langs: Seq[String], numParts: Int,
                        repartitionInput: Boolean = true,
                        accMentions: Option[LongAccumulator] = None,
-                       accCandidates: Option[LongAccumulator] = None): DataFrame =
+                       accCandidates: Option[LongAccumulator] = None,
+                       mentionMode: String = "scan"): DataFrame =
     relations(
       tokenized(sentences(pageText(partitioned(webpages, langs, numParts, repartitionInput)))),
-      model, accMentions, accCandidates)
+      model, accMentions, accCandidates, mentionMode)
 
   /** A11 phase 1 — per-part partial canonicalization. Keyed by part_id first:
     * after the explicit repartition the rows are already hash-distributed by
     * part_id, so this aggregation needs NO shuffle, and part_id acts as the
     * salt that spreads hot (subj,pred,obj) keys over partitions
-    * (BASELINE.json:6 "salted-key groupBy to defeat skew on hot entities"). */
+    * (BASELINE.json:6 "salted-key groupBy to defeat skew on hot entities").
+    *
+    * min_str(url) ≡ min(url), but the built-in min over a string buffer (and
+    * min_by, and min(struct)) are declarative aggregates Spark can only plan
+    * as SortAggregate — a full sort of the relation stream. min_str is a
+    * TypedImperativeAggregate (graft.plans.StringMinAgg) that keeps the whole
+    * aggregation on the hash-based ObjectHashAggregate path
+    * (PlanAuditSpec asserts; quantified in BENCH/BASELINE.md). */
   def partialTriples(relations: DataFrame): DataFrame =
     relations.groupBy(col("part_id"), col("subj"), col("pred"), col("obj"))
-      .agg(count(lit(1)).as("n"), max(col("score")).as("score"), min(col("url")).as("first_url"))
+      .agg(count(lit(1)).as("n"), max(col("score")).as("score"),
+        graft.plans.GraftExtensions.minStr(col("url")).as("first_url"))
 
   /** A11 phase 2 — merge partials globally (the one unavoidable shuffle; all
     * measures are algebraic so partial+final loses nothing). */
   def mergeTriples(partials: DataFrame): DataFrame =
     partials.groupBy(col("subj"), col("pred"), col("obj"))
       .agg(sum(col("n")).as("n_evidence"), max(col("score")).as("score"),
-        min(col("first_url")).as("first_url"))
+        graft.plans.GraftExtensions.minStr(col("first_url")).as("first_url"))
 
   /** Generic salted two-phase aggregation, exposed for the harness
     * (q_agg_twophase) and CanonicalizeSpec: equivalent by algebra to the

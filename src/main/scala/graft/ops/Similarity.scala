@@ -136,14 +136,22 @@ object Similarity {
   /** Bucketed ANN: join queries to candidates sharing an LSH bucket, then
     * rank within bucket — candidate generation is an equi-join (shuffle on
     * bucket), never a cross product. Recall < 1 by construction; increase
-    * `probes` by unioning neighbor buckets if needed. */
+    * `probes` by unioning neighbor buckets if needed.
+    *
+    * broadcastQueries=true ships the query side to every executor — right
+    * when the query set is driver-memory small (the interactive case). For a
+    * query set that is itself a large table (batch kNN join), pass false: the
+    * join becomes a plain shuffle equi-join on bucket, both sides
+    * hash-partitioned — no driver bottleneck (results identical; asserted by
+    * OpsSpec/PlanAuditSpec). */
   def lshTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
-              vecCol: String, dims: Int, planes: Int, k: Int): DataFrame = {
+              vecCol: String, dims: Int, planes: Int, k: Int,
+              broadcastQueries: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       lshBucket(col(vecCol), dims, planes).as("bucket"))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       lshBucket(col(vecCol), dims, planes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val scored = c.join(if (broadcastQueries) broadcast(q) else q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))

@@ -51,17 +51,36 @@ object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => U
     ExtractTextExpr(args.head)
   }
 
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  private val minStrInfo = new ExpressionInfo(
+    classOf[StringMinAgg].getName, "min_str")
+
+  private val minStrBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, "min_str(s) takes exactly one argument")
+    StringMinAgg(args.head)
+  }
+
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("extract_text"), extractTextInfo, builder))
+    ext.injectFunction((FunctionIdentifier("min_str"), minStrInfo, minStrBuilder))
+  }
 
   /** Idempotent runtime registration into the session's function registry. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "extract_text", builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "min_str", minStrBuilder, "built-in")
+  }
 
   /** Column-API handle (registers into the active session on first use). */
   def extractText(html: Column): Column = {
     SparkSession.active.synchronized(register(SparkSession.active))
     call_function("extract_text", html)
+  }
+
+  /** Column-API handle for the hash-friendly string-min aggregate. */
+  def minStr(c: Column): Column = {
+    SparkSession.active.synchronized(register(SparkSession.active))
+    call_function("min_str", c)
   }
 }

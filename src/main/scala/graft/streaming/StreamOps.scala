@@ -26,34 +26,52 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sum_cents"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_cents"))
 
-  /** Streaming exact dedup on event_id within the watermark horizon. */
+  /** Streaming exact dedup on event_id within the watermark horizon. Keyed on
+    * event_id ALONE (dropDuplicatesWithinWatermark), so a replay carrying a
+    * different ts is still dropped; state for ids older than the watermark is
+    * evicted — bounded state at scale. */
   def dedupStream(events: DataFrame, lateness: String = "5 minutes"): DataFrame =
-    events.withWatermark("ts", lateness).dropDuplicates("event_id", "ts")
+    events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("event_id")
 
   final case class SessionUpdate(user_id: Long, n_events: Long, start: Timestamp, end: Timestamp)
-  private final case class SessionState(n: Long, startMs: Long, endMs: Long)
+  // NOT private: the state encoder's generated code must see the constructor
+  // (a private case class fails Janino compilation at runtime)
+  final case class SessionState(n: Long, startMs: Long, endMs: Long)
 
-  /** Custom keyed state: per-user sessions closed after `gapMs` idle time
-    * (processing-time timeout). Emits one SessionUpdate per closed session. */
-  def sessionize(events: Dataset[(Long, Timestamp)], gapMs: Long): Dataset[SessionUpdate] = {
+  /** Custom keyed state: per-user sessions closed after `gapMs` of EVENT-TIME
+    * silence — the streaming twin of q_sessionize_batch's lag()-gap rule.
+    * A session closes when the watermark passes (last event + gap); the
+    * event-time timeout makes the result a deterministic function of the data
+    * (a processing-time timeout would not be reproducible), and the watermark
+    * bounds state for idle users at scale. Emits one SessionUpdate per closed
+    * session. `events` needs (user_id, ts) columns. */
+  def sessionize(events: DataFrame, gapMs: Long,
+                 lateness: String = "0 seconds"): Dataset[SessionUpdate] = {
     implicit val outEnc = Encoders.product[SessionUpdate]
     implicit val stateEnc = Encoders.product[SessionState]
-    events.groupByKey(_._1)(Encoders.scalaLong)
+    val pairEnc = Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP)
+    events
+      .select(col("user_id").cast("long"), col("ts"))
+      .withWatermark("ts", lateness)
+      .as[(Long, Timestamp)](pairEnc)
+      .groupByKey(_._1)(Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, SessionUpdate](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
             Iterator.single(SessionUpdate(userId, s.n, new Timestamp(s.startMs), new Timestamp(s.endMs)))
           } else {
+            // rows at/after the watermark only (Spark drops late input here)
             val ts = rows.map(_._2.getTime).toSeq
             val prev = state.getOption.getOrElse(SessionState(0L, Long.MaxValue, Long.MinValue))
             val next = SessionState(prev.n + ts.size,
               math.min(prev.startMs, if (ts.isEmpty) prev.startMs else ts.min),
               math.max(prev.endMs, if (ts.isEmpty) prev.endMs else ts.max))
             state.update(next)
-            state.setTimeoutDuration(gapMs)
+            // close when event time (the watermark) passes last-event + gap
+            state.setTimeoutTimestamp(next.endMs + gapMs)
             Iterator.empty
           }
       }

@@ -47,9 +47,50 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"pipeline must shuffle exactly twice (repartition + merge), got $exchanges:\n$plan")
     // phase-1 partial aggregation must NOT re-shuffle: the partial aggregate
     // pair sits between the repartition exchange and the merge exchange.
-    // (min/max over the string provenance column forces SortAggregate — a
-    // documented tradeoff: provenance urls vs hash-agg buffers.)
     assert(plan.contains("Aggregate"), plan)
+    // canonicalization must stay HASH-based: the min_str typed-imperative
+    // aggregate keeps string provenance on ObjectHashAggregate; the built-in
+    // min(url) would silently fall back to SortAggregate (full stream sort)
+    assert(plan.contains("ObjectHashAggregate"),
+      s"canonicalization not hash-based:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"SortAggregate crept back into the pipeline:\n$plan")
+  }
+
+  test("min_str == built-in min(url) values; LSH shuffle-join mode == broadcast mode") {
+    import spark.implicits._
+    // min_str semantics: exactly lexicographic min, incl. empty-string groups
+    val df = Seq((1L, "u-b"), (1L, "u-a"), (2L, ""), (2L, "x"), (3L, "only"))
+      .toDF("k", "url")
+    val viaMinStr = df.groupBy($"k")
+      .agg(graft.plans.GraftExtensions.minStr($"url").as("m")).as[(Long, String)]
+      .collect().toSet
+    val viaMin = df.groupBy($"k").agg(min($"url").as("m")).as[(Long, String)]
+      .collect().toSet
+    assert(viaMinStr == viaMin, s"$viaMinStr != $viaMin")
+
+    // large-query-set LSH: plain equi-join (no broadcast of q), same results
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 4)
+    val bc = graft.ops.Similarity.lshTopK(qs, emb, "vec_id", "embedding",
+      dims = 64, planes = 4, k = 5, broadcastQueries = true)
+    val sh = graft.ops.Similarity.lshTopK(qs, emb, "vec_id", "embedding",
+      dims = 64, planes = 4, k = 5, broadcastQueries = false)
+    assert(sh.exceptAll(bc).isEmpty && bc.exceptAll(sh).isEmpty)
+    // at test scale the planner still auto-broadcasts the tiny side (correct
+    // adaptive behavior — the op merely stops FORCING broadcast); disable the
+    // threshold to observe the large-query-set plan
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shPlan = formatted(graft.ops.Similarity.lshTopK(qs, emb, "vec_id",
+        "embedding", dims = 64, planes = 4, k = 5, broadcastQueries = false)
+        .select("query_id", "neighbor_id", "rnk"))
+      assert(!shPlan.contains("BroadcastHashJoin"),
+        s"non-broadcast mode still broadcasts:\n$shPlan")
+      assert(shPlan.contains("SortMergeJoin") || shPlan.contains("ShuffledHashJoin"),
+        s"expected a shuffle join on bucket:\n$shPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
   test("pipeline hot path is whole-stage codegen'd incl. native extract_text") {

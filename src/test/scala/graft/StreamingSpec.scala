@@ -57,11 +57,55 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     try {
       in.addData((1L, ts(1), "a"), (1L, ts(1), "a"), (2L, ts(2), "b"))
       q.processAllAvailable()
-      in.addData((1L, ts(1), "a"), (3L, ts(3), "c")) // replay of id 1 within horizon
+      // replays within the horizon: id 1 verbatim, id 2 with a DIFFERENT ts
+      // (dedup is keyed on event_id alone, not the (event_id, ts) pair)
+      in.addData((1L, ts(1), "a"), (2L, ts(4), "b"), (3L, ts(3), "c"))
       q.processAllAvailable()
       val ids = spark.table("dedup_stream").select("event_id")
         .collect().map(_.getLong(0)).sorted.toSeq
       assert(ids == Seq(1L, 2L, 3L), s"dedup failed: $ids")
+    } finally q.stop()
+  }
+
+  test("event-time sessionize: sessions close when the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(s: String): Timestamp = Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, Timestamp)]
+    val events = in.toDF().toDF("user_id", "ts")
+
+    val q = StreamOps.sessionize(events, gapMs = 30L * 60 * 1000).writeStream
+      .format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      def emitted() = spark.table("sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getTimestamp(2), r.getTimestamp(3))).toSet
+
+      // batch 1: user 1 events at 10:00 and 10:10 (one open session);
+      // watermark advances to 10:10 < 10:10+gap, so nothing closes
+      in.addData((1L, at("2024-01-01 10:00:00")), (1L, at("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      assert(emitted().isEmpty, s"no session may close before the gap: ${emitted()}")
+      // batch 2: user 2 at 11:00 advances the watermark past 10:40 -> user 1's
+      // session closes (processAllAvailable includes the follow-up microbatch
+      // Spark runs after a watermark change); user 2 (timeout 11:30) stays open
+      in.addData((2L, at("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      assert(emitted() == Set((1L, 2L, at("2024-01-01 10:00:00"), at("2024-01-01 10:10:00"))),
+        s"user 1's 2-event session must close, user 2's must stay open: ${emitted()}")
+      // batch 3: watermark 12:00 > 11:30 -> user 2 closes
+      in.addData((3L, at("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      assert(emitted().contains((2L, 1L, at("2024-01-01 11:00:00"), at("2024-01-01 11:00:00"))),
+        s"user 2's single-event session must close: ${emitted()}")
+
+      // a SECOND session for user 1 after its first closed: fresh state
+      in.addData((1L, at("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      in.addData((5L, at("2024-01-01 16:00:00"))) // watermark 16:00 > 14:30 -> closes
+      q.processAllAvailable()
+      assert(emitted().contains((1L, 1L, at("2024-01-01 14:00:00"), at("2024-01-01 14:00:00"))),
+        s"user 1's second session must close independently: ${emitted()}")
     } finally q.stop()
   }
 }
