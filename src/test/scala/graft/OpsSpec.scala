@@ -62,6 +62,32 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(!pairs.exists { case (a, b, _, _) => a == 1L && b == 3L })
   }
 
+  test("jaccard df-cap prunes a planted stop-shingle's d^2 join rows, keeps real near-dups") {
+    // 40 unrelated docs sharing ONE stop token ("corpus") + 2 real near-dups
+    val planted = (1L to 40L).map(i =>
+      (100L + i, s"corpus unique${i}a unique${i}b unique${i}c unique${i}d", "blk")) ++ Seq(
+      (1L, "corpus alpha beta gamma delta epsilon", "blk"),
+      (2L, "corpus alpha beta gamma delta zeta", "blk"))
+    val df = planted.toDF("doc_id", "text", "source")
+
+    // uncapped: the stop token alone creates an intersection row for every
+    // one of the 42*41/2 pairs feeding the join (bounded here, fatal at scale)
+    val uncappedInter = Dedup.jaccardPairs(df, "doc_id", "text", "source",
+      shingleN = 1, minJaccardPct = 1).count()
+    // capped at df<=10: the stop token (df=42) leaves the universe; only the
+    // real near-dup pair shares any shingle at all
+    val capped = Dedup.jaccardPairs(df, "doc_id", "text", "source",
+      shingleN = 1, minJaccardPct = 1, dfMax = Some(10L))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(uncappedInter > 800L, s"stop-shingle should pair everything: $uncappedInter")
+    assert(capped.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"cap must keep only the true near-dup pair: ${capped.toSeq}")
+    // the surviving pair's arithmetic is exact over the capped universe:
+    // 4 shared of 5+5 tokens (stop token removed from both sizes)
+    val (_, _, inter, uni) = capped.head
+    assert(inter == 4L && uni == 6L, s"inter=$inter uni=$uni")
+  }
+
   test("brute-force cosine top-k: self-similar vectors rank first; deterministic") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
