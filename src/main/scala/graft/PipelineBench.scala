@@ -21,9 +21,12 @@ object PipelineBench {
     val cpus = if (args.length > 0) args(0).toInt else 32
     val sf = if (args.length > 1) args(1).toDouble else 0.1
     val runs = if (args.length > 2) args(2).toInt else 3
+    val flags = args.drop(3).toSet
     // "norepart": extract on input splits instead of the explicit url-hash
     // exchange (quantifies the repartition's cost; SURVEY.md §4.2.1)
-    val repartitionInput = !(args.length > 3 && args(3) == "norepart")
+    val repartitionInput = !flags.contains("norepart")
+    // "aho": Aho–Corasick mention scan instead of the 2-gram hash-map scan
+    val mentionMode = if (flags.contains("aho")) "aho" else "scan"
     val fixDir = s"/root/repo/fixtures/sf$sf"
 
     val spark = SparkSession.builder()
@@ -43,17 +46,33 @@ object PipelineBench {
 
     val parts = math.max(4 * cpus, 32)
     var triplesOut = 0L
+    // /proc/stat accounting per run: on this shared VM the hypervisor steals
+    // a time-varying share of the 32 vCPUs (measured up to ~25%+); recording
+    // busy vs stolen core-seconds per run turns host noise into explained
+    // variance (see BENCH/BASELINE.md round-2 scaling analysis)
+    def cpuTicks(): (Long, Long, Long) = {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+      // user+nice+system = busy; field 5 = iowait; field 8 = steal
+      (f(0) + f(1) + f(2), f(4), if (f.length > 7) f(7) else 0L)
+    }
     def oneRun(r: Int, timed: Boolean): Double = {
       val out = java.nio.file.Files.createTempDirectory(s"bench-$cpus-$r").toString
+      val (busy0, iow0, steal0) = cpuTicks()
       val t0 = System.nanoTime()
-      val rels = Stages.extractRelations(webpages, model, Seq("en"), parts, repartitionInput)
+      val rels = Stages.extractRelations(webpages, model, Seq("en"), parts,
+        repartitionInput, mentionMode = mentionMode)
       val triples = Stages.mergeTriples(Stages.partialTriples(rels))
       triples.write.mode("overwrite").parquet(s"$out/triples")
       val sec = (System.nanoTime() - t0) / 1e9
+      val (busy1, iow1, steal1) = cpuTicks()
+      val busyCores = (busy1 - busy0) / 100.0 / sec   // avg busy cores (whole VM)
+      val iowCores = (iow1 - iow0) / 100.0 / sec       // avg cores blocked on I/O
+      val stealCores = (steal1 - steal0) / 100.0 / sec // avg cores stolen by host
       val n = spark.read.parquet(s"$out/triples").count()
       triplesOut = n
       if (timed)
-        println(f"""{"bench":"pipeline","cpus":$cpus,"sf":$sf,"run":$r,"pages":$nPages,"triples":$n,"sec":$sec%.3f,"triples_per_sec":${n / sec}%.1f}""")
+        println(f"""{"bench":"pipeline","cpus":$cpus,"sf":$sf,"run":$r,"pages":$nPages,"triples":$n,"sec":$sec%.3f,"triples_per_sec":${n / sec}%.1f,"busy_cores":$busyCores%.1f,"iowait_cores":$iowCores%.1f,"steal_cores":$stealCores%.1f}""")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
       sec
     }

@@ -2,7 +2,7 @@ package graft
 
 import graft.fixtures.{Gen, Vocab}
 import graft.kg.{KgModel, Pipeline, Stages, Train}
-import graft.ops.{Dedup, HashMode, Multimodal, Similarity, TextStats}
+import graft.ops.{Dedup, HashMode, Multimodal, Relational, Similarity, TextStats}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -16,9 +16,15 @@ import org.apache.spark.sql.functions._
   * widen to int128) are cast back to bigint. Column names are aliased
   * identically on both sides.
   *
-  * Queries without an oracleSql entry are not SQL-expressible in DuckDB 1.0
-  * (xxhash64-based signatures, the KG pipeline itself, RE2-incompatible
-  * regexes); each is covered by a ScalaTest spec instead (HarnessSpec/OpsSpec).
+  * Signature-based ops (minhash/simhash/fingerprints) run in
+  * HashMode.PortableMd5 here so DuckDB replays them bit-exactly (xxhash64
+  * stays the scale default — same plan shape, audited once). The remaining
+  * no-oracle queries are approximate or not SQL-expressible BY DESIGN:
+  * q_agg_approx (HLL sketch; exact twin in-query), q_embed_ivf_topk /
+  * q_embed_lsh_topk (ANN; recall vs brute force spec-tested),
+  * q_pipeline_triples + q_train_labels (the KG pipeline / its training
+  * labeling — gated by P/R and TrainSpec instead). Each is covered by a
+  * ScalaTest spec (HarnessSpec/OpsSpec/TrainSpec).
   */
 object SparkEntry {
 
@@ -95,6 +101,24 @@ object SparkEntry {
           col("ts_b") > col("ts_a") &&
           col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }),
+
+    // point-in-time join: each click gets the latest preceding view's payload
+    // for the same user (union + window formulation — no range join)
+    "q_join_asof" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(sum(cents(col("value"))).cast("long").as("view_cents"))
+      Relational.asofJoin(clicks, views, "user_id", "ts", "ts",
+        Seq("ts", "view_cents"))
+        .filter(col("asof").isNotNull) // inner as-of semantics
+        // ntz -> tz cast is wall-time in the UTC session, matching epoch_us
+        .select(col("event_id"),
+          unix_micros(col("asof.ts").cast("timestamp")).as("view_us"),
+          col("asof.view_cents").as("view_cents"))
     }),
 
     // ---- aggregation ----
@@ -219,6 +243,13 @@ object SparkEntry {
 
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashTable(t(s, d, "documents"), "doc_id", "text")),
+
+    // the cluster step after pairing: connected components by min-label
+    // propagation; oracle replays it with a recursive CTE
+    "q_dedup_components" -> ((s, d) =>
+      Dedup.components(Dedup.jaccardPairs(
+        t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", "source", shingleN = 1, minJaccardPct = 50))),
 
     // ---- training-data ops: similarity search ----
     "q_embed_topk" -> ((s, d) => {
@@ -407,6 +438,24 @@ object SparkEntry {
         "SELECT doc_a, doc_b, cast(p.inter as bigint) AS inter, cast(sa.sz + sb.sz - p.inter as bigint) AS uni " +
         "FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id JOIN sizes sb ON p.doc_b = sb.doc_id " +
         "WHERE p.inter * 100 >= (sa.sz + sb.sz - p.inter) * 50"),
+    "q_dedup_components" ->
+      ("WITH RECURSIVE d AS (SELECT * FROM documents WHERE doc_id % 5 = 0), " +
+        "tok AS (SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS tok FROM d), " +
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id), " +
+        "p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter FROM tok a " +
+        "JOIN tok b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "p AS (SELECT doc_a, doc_b FROM p0 JOIN sizes sa ON p0.doc_a = sa.doc_id " +
+        "JOIN sizes sb ON p0.doc_b = sb.doc_id WHERE p0.inter * 100 >= (sa.sz + sb.sz - p0.inter) * 50), " +
+        "edges AS (SELECT doc_a AS s, doc_b AS t FROM p UNION SELECT doc_b, doc_a FROM p), " +
+        "reach(id, comp) AS (SELECT DISTINCT s, s FROM edges " +
+        "UNION SELECT e.s, r.comp FROM edges e JOIN reach r ON e.t = r.id) " +
+        "SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id"),
+    "q_join_asof" ->
+      ("SELECT l.event_id, epoch_us(r.ts) AS view_us, r.view_cents AS view_cents " +
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l " +
+        "ASOF JOIN (SELECT user_id, ts, cast(sum(cast(round(value * 100) as bigint)) as bigint) AS view_cents " +
+        "FROM events WHERE event_type = 'view' GROUP BY 1, 2) r " +
+        "ON l.user_id = r.user_id AND r.ts <= l.ts"),
     "q_dedup_minhash" ->
       (Dedup.minhashBandsOracleCte("", numPerm = 32, bands = 8) +
         " SELECT doc_id, band, band_hash FROM band"),

@@ -165,6 +165,44 @@ object Dedup {
   /** Hamming distance between two simhash columns (pure Catalyst). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over an undirected near-dup pair list
+    * (doc_a, doc_b) — the CLUSTER step after candidate pairing: every doc in
+    * a connected group gets the group's minimum doc id as `comp`, and the
+    * keep-one-per-cluster rule is then `doc_id == comp`.
+    *
+    * Iterative min-label propagation as DataFrame joins: each round every
+    * node takes the min of its own label and its neighbors' labels, until a
+    * round changes nothing (converges in O(cluster diameter) rounds — near-dup
+    * clusters are shallow). localCheckpoint between rounds truncates the
+    * lineage so the plan does not grow with iterations. Only docs appearing
+    * in `pairs` are labeled (singletons are their own component trivially). */
+  def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("comp", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   // ---- DuckDB oracle generators (exact replays of the PortableMd5 mode;
   //      kept NEXT to the ops so the SQL and the Column exprs share the
   //      Portable constants and can't drift apart) ----

@@ -33,6 +33,20 @@ object StreamOps {
   def dedupStream(events: DataFrame, lateness: String = "5 minutes"): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("event_id")
 
+  /** Built-in session windows: per-user gap-based sessions via the native
+    * `session_window` aggregation (state managed by the engine; merging
+    * windows handled internally). The declarative twin of [[sessionize]] —
+    * use this when plain aggregates per session suffice; use
+    * flatMapGroupsWithState when session state needs custom logic. */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+                          lateness: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start"),
+        col("session_window.end").as("end"), col("n_events"))
+
   final case class SessionUpdate(user_id: Long, n_events: Long, start: Timestamp, end: Timestamp)
   // NOT private: the state encoder's generated code must see the constructor
   // (a private case class fails Janino compilation at runtime)

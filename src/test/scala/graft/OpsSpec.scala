@@ -88,6 +88,37 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(inter == 4L && uni == 6L, s"inter=$inter uni=$uni")
   }
 
+  test("connected components: chain + separate cluster + untouched docs") {
+    // chain 1-2-3 (transitively connected), island 7-8, doc 9 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L),
+      comp.toString)
+    // a long path needs label propagation over multiple rounds
+    val path = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp2 = Dedup.components(path).as[(Long, Long)].collect().toMap
+    assert(comp2.values.toSet == Set(1L), s"12-node path must collapse to 1: $comp2")
+  }
+
+  test("as-of join: latest preceding payload per key, inclusive at equal ts") {
+    import java.sql.Timestamp
+    def at(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (10L, 1L, at("2024-01-01 10:30:00")), // after r@10:00 -> 100
+      (11L, 1L, at("2024-01-01 11:00:00")), // equal ts to r@11:00 -> 200 (inclusive)
+      (12L, 1L, at("2024-01-01 09:00:00")), // before any right row -> null
+      (13L, 2L, at("2024-01-01 10:30:00"))  // other key, no right rows -> null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, at("2024-01-01 10:00:00"), 100L),
+      (1L, at("2024-01-01 11:00:00"), 200L)).toDF("user_id", "ts", "cents")
+    val res = graft.ops.Relational.asofJoin(left, right, "user_id", "ts", "ts", Seq("cents"))
+      .select($"event_id", $"asof.cents")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(res == Map(10L -> Some(100L), 11L -> Some(200L), 12L -> None, 13L -> None),
+      res.toString)
+  }
+
   test("brute-force cosine top-k: self-similar vectors rank first; deterministic") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

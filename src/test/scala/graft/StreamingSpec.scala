@@ -67,6 +67,31 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("built-in session_window aggregation matches the gap rule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(s: String): Timestamp = Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, Timestamp)]
+    val events = in.toDF().toDF("user_id", "ts")
+    val q = StreamOps.sessionWindowCounts(events, gap = "30 minutes").writeStream
+      .format("memory").queryName("sw_counts").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 2nd session
+      in.addData((1L, at("2024-01-01 10:00:00")), (1L, at("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      in.addData((1L, at("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      in.addData((2L, at("2024-01-01 14:00:00"))) // advances watermark past 12:30
+      q.processAllAvailable()
+      val rows = spark.table("sw_counts")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
+      assert(rows.contains((1L, at("2024-01-01 10:00:00"), 2L)),
+        s"first session must have both events: $rows")
+      assert(rows.contains((1L, at("2024-01-01 12:00:00"), 1L)),
+        s"second session must be separate: $rows")
+    } finally q.stop()
+  }
+
   test("event-time sessionize: sessions close when the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
