@@ -188,15 +188,15 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
+      // the changed flag rides along in the same pass, so convergence
+      // detection is a filter over the checkpointed result — no extra join
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(col("doc_id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("changed"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.comp") =!= col("o.comp")).count()
-      labels = next
-      converged = changed == 0L
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("doc_id"), col("comp"))
       i += 1
     }
     edges.unpersist()
