@@ -173,9 +173,11 @@ object Dedup {
     * Iterative min-label propagation as DataFrame joins: each round every
     * node takes the min of its own label and its neighbors' labels, until a
     * round changes nothing (converges in O(cluster diameter) rounds — near-dup
-    * clusters are shallow). localCheckpoint between rounds truncates the
-    * lineage so the plan does not grow with iterations. Only docs appearing
-    * in `pairs` are labeled (singletons are their own component trivially). */
+    * clusters are shallow; a graph with diameter > maxIter would return
+    * partially-merged labels, so maxIter is a safety bound, not a tuning
+    * knob). localCheckpoint between rounds truncates the lineage so the plan
+    * does not grow with iterations. Only docs appearing in `pairs` are
+    * labeled (singletons are their own component trivially). */
   def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
