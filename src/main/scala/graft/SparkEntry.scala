@@ -267,10 +267,15 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
     }),
 
+    // portable-hash mode: the bucket assignment is replayed bit-exactly by
+    // the DuckDB oracle, making the WHOLE bucketed-ANN result exact-checkable
+    // (rank-only output, deterministic tie-breaks; XxHash stays the scale
+    // default — identical plan, PlanAuditSpec covers it)
     "q_embed_lsh_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") < 8), emb,
-        "vec_id", "embedding", dims = 64, planes = 4, k = 10)
+        "vec_id", "embedding", dims = 64, planes = 4, k = 10,
+        mode = HashMode.PortableMd5)
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
     }),
 
@@ -291,10 +296,13 @@ object SparkEntry {
       TextStats.langId(t(s, d, "documents"), "doc_id", "text")),
 
     // portable-hash mode: winnowing selection replayed exactly by DuckDB;
-    // fingerprint array is sorted, so element 0 is the min fingerprint
+    // fingerprint array is sorted, so element 0 is the min fingerprint.
+    // Sampled doc_id % 5 = 0 like the jaccard queries: same oracle rigor at
+    // 1/5 the per-char md5 cost in every harness/bench run (the md5 price is
+    // harness-only — xxhash64 at scale)
     "q_fingerprint" -> ((s, d) =>
-      TextStats.fingerprints(t(s, d, "documents"), "doc_id", "text",
-        mode = HashMode.PortableMd5)
+      TextStats.fingerprints(t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", mode = HashMode.PortableMd5)
         .select(col("doc_id"), size(col("fingerprint")).cast("long").as("n_fp"),
           get(col("fingerprint"), lit(0)).as("fp_min"))),
 
@@ -420,7 +428,7 @@ object SparkEntry {
         "(SELECT md5(text) AS h, count(*) AS n_docs FROM documents GROUP BY 1)"),
     "q_dedup_jaccard" ->
       ("WITH d AS (SELECT * FROM documents WHERE doc_id % 5 = 0), " +
-        "tok AS (SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS tok FROM d), " +
+        "tok AS (SELECT doc_id, source, unnest(list_distinct(list_filter(string_split(text, ' '), t -> length(t) > 0))) AS tok FROM d), " +
         "sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id), " +
         "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter FROM tok a " +
         "JOIN tok b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
@@ -429,7 +437,7 @@ object SparkEntry {
         "WHERE p.inter * 100 >= (sa.sz + sb.sz - p.inter) * 50"),
     "q_dedup_jaccard_capped" ->
       ("WITH d AS (SELECT * FROM documents WHERE doc_id % 5 = 0), " +
-        "tok0 AS (SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS tok FROM d), " +
+        "tok0 AS (SELECT doc_id, source, unnest(list_distinct(list_filter(string_split(text, ' '), t -> length(t) > 0))) AS tok FROM d), " +
         "dfok AS (SELECT source, tok FROM tok0 GROUP BY source, tok HAVING count(*) <= 18), " +
         "tok AS (SELECT t.doc_id, t.source, t.tok FROM tok0 t JOIN dfok USING (source, tok)), " +
         "sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id), " +
@@ -440,7 +448,7 @@ object SparkEntry {
         "WHERE p.inter * 100 >= (sa.sz + sb.sz - p.inter) * 50"),
     "q_dedup_components" ->
       ("WITH RECURSIVE d AS (SELECT * FROM documents WHERE doc_id % 5 = 0), " +
-        "tok AS (SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS tok FROM d), " +
+        "tok AS (SELECT doc_id, source, unnest(list_distinct(list_filter(string_split(text, ' '), t -> length(t) > 0))) AS tok FROM d), " +
         "sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id), " +
         "p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter FROM tok a " +
         "JOIN tok b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
@@ -464,7 +472,15 @@ object SparkEntry {
         " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b " +
         "ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"),
     "q_dedup_simhash" -> Dedup.simhashOracleSql,
-    "q_fingerprint" -> TextStats.fingerprintOracleSql(k = 8, window = 4),
+    "q_fingerprint" -> TextStats.fingerprintOracleSql(k = 8, window = 4,
+      filterSql = "AND doc_id % 5 = 0"),
+    "q_embed_lsh_topk" ->
+      (s"WITH b AS (${Similarity.lshBucketOracleSql(dims = 64, planes = 4)}) " +
+        "SELECT query_id, neighbor_id, rnk FROM (SELECT q.vec_id AS query_id, " +
+        "c.vec_id AS neighbor_id, cast(row_number() OVER (PARTITION BY q.vec_id " +
+        "ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, " +
+        "c.vec_id) as bigint) AS rnk FROM b q JOIN b c ON q.bucket = c.bucket " +
+        "AND c.vec_id <> q.vec_id WHERE q.vec_id < 8) WHERE rnk <= 10"),
     "q_lang_id" -> TextStats.langIdOracleSql,
     "q_media_features" ->
       ("SELECT doc_id AS media_id, cast(octet_length(encode(text)) as bigint) AS n_bytes, " +

@@ -23,6 +23,12 @@ object TrainMain {
       "usage: graft.TrainMain <webpagesPath> <fixturesDir> <goldPath> <outDir> [langs]")
     val Array(webpagesPath, fixturesDir, goldPath, outDir) = args.take(4)
     val langs = if (args.length > 4) args(4).split(',').toSeq else Seq("en")
+    // the dictionary/predicates COPY below lazily reads fixturesDir while
+    // overwriting outDir — same directory would overwrite the parquet mid-read
+    require(new java.io.File(outDir).getCanonicalFile !=
+        new java.io.File(fixturesDir).getCanonicalFile,
+      s"outDir must differ from fixturesDir (got '$outDir'): the learned model " +
+        "is written as a complete fixtures directory and would clobber its own input")
 
     val builder = SparkSession.builder()
       .appName("graft-kg-train")
@@ -53,9 +59,14 @@ object TrainMain {
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
     }
 
-    trained.perPred.foreach(s => println(
-      s"[graft.TrainMain] ${s.pred}: candidates=${s.nCand} positives=${s.nPos} " +
-        s"learned_weights=${s.nWeights}"))
+    trained.perPred.foreach { s =>
+      val conv = if (s.finalObjective < 0) "no_fit"
+        else if (s.nIter >= 60) "MAXITER_HIT (possibly unconverged)"
+        else s"converged@${s.nIter}"
+      println(
+        s"[graft.TrainMain] ${s.pred}: candidates=${s.nCand} positives=${s.nPos} " +
+          s"learned_weights=${s.nWeights} lbfgs=$conv objective=${s.finalObjective}")
+    }
     println(s"[graft.TrainMain] wrote ${trained.weightRows.size} weight rows, " +
       s"tau=${trained.tau} -> $outDir")
     spark.stop()

@@ -50,26 +50,27 @@ object Checkpoint {
       rows.toDF().coalesce(1).write.mode(SaveMode.Append).parquet(manifestPath(outDir))
   }
 
-  /** Per-part lineage stats from a partial-triples frame (one pass). `todo`
-    * seeds the row set: every attempted part gets a 'done' row even when it
-    * held zero in-scope pages or produced zero triples — otherwise an empty
-    * part would be missing from the manifest and recomputed on EVERY resume.
+  /** Per-part lineage stats from a partial-triples frame (one pass; marker
+    * rows already filtered out by the caller). `todo` seeds the row set: every
+    * attempted part gets a 'done' row even when it held zero in-scope pages or
+    * produced zero triples — otherwise an empty part would be missing from the
+    * manifest and recomputed on EVERY resume. `pagesByPart` comes from the
+    * persisted page-marker rows (Pipeline.run), so no input re-scan is needed.
     * wall_ms is the shared run wall clock (see object scaladoc). */
-  def partStats(todo: Seq[Int], partials: DataFrame, pagesPerPart: DataFrame,
+  def partStats(todo: Seq[Int], partials: DataFrame, pagesByPart: Map[Int, Long],
                 wallMs: Long): Seq[ManifestRow] = {
-    val stats = partials
+    val byPart = partials
       .groupBy(col("part_id"))
       .agg(count(lit(1)).as("n_triples"), sum(col("n")).as("n_evidence"),
         // xor-fold: order-independent, overflow-free content checksum
         bit_xor(xxhash64(col("subj"), col("pred"), col("obj"), col("n"))).as("checksum"))
-      .join(pagesPerPart, Seq("part_id"), "full_outer")
-    val byPart = stats.na.fill(0L, Seq("n_triples", "n_evidence", "checksum", "n_pages"))
       .collect()
-      .map(r => r.getAs[Int]("part_id") -> ManifestRow(
-        r.getAs[Int]("part_id"), "done", r.getAs[Long]("n_pages"),
-        r.getAs[Long]("n_triples"), r.getAs[Long]("n_evidence"),
-        r.getAs[Long]("checksum"), wallMs))
+      .map(r => r.getAs[Int]("part_id") ->
+        (r.getAs[Long]("n_triples"), r.getAs[Long]("n_evidence"), r.getAs[Long]("checksum")))
       .toMap
-    todo.map(p => byPart.getOrElse(p, ManifestRow(p, "done", 0L, 0L, 0L, 0L, wallMs)))
+    todo.map { p =>
+      val (t, e, c) = byPart.getOrElse(p, (0L, 0L, 0L))
+      ManifestRow(p, "done", pagesByPart.getOrElse(p, 0L), t, e, c, wallMs)
+    }
   }
 }

@@ -83,11 +83,18 @@ object Pipeline {
 
     var pages = 0L
     if (todo.nonEmpty) {
-      val part = Stages.partitioned(webpages, cfg.langs, cfg.numParts, cfg.repartitionInput)
+      // single-pass lineage: EVERY page (in scope or not) flows once, tagged;
+      // out-of-scope rows carry (url, nulls) only and skip extraction. Each
+      // page emits one marker row (subj IS NULL) beside its relations, so page
+      // counts and the present-part commit rule are read back from the written
+      // partials — the input is scanned exactly once per run (LineageSpec
+      // asserts), where round 2 paid two extra (column-pruned) input scans.
+      val part = Stages.partitionedAll(webpages, cfg.langs, cfg.numParts, cfg.repartitionInput)
         .filter(col("part_id").isin(todo: _*))
       val rels = Stages.relations(
-        Stages.tokenized(Stages.sentences(Stages.pageText(part))),
-        model, Some(accMentions), Some(accCandidates), cfg.mentionMode)
+        Stages.tokenized(Stages.sentencesOuter(Stages.pageText(part))),
+        model, Some(accMentions), Some(accCandidates), cfg.mentionMode,
+        pageMarkers = true)
       val partials = Stages.partialTriples(rels)
 
       // dynamic partition overwrite: a rerun replaces exactly the part dirs
@@ -95,24 +102,23 @@ object Pipeline {
       partials.write.mode(SaveMode.Overwrite)
         .partitionBy("part_id").parquet(partialsPath(cfg.outDir))
 
-      // lineage: pages per part is a cheap url-only scan (html never read)
-      val pagesPerPart = Stages.partitioned(webpages.select("url", "lang",
-          "html"), cfg.langs, cfg.numParts, repartitionInput = false)
-        .filter(col("part_id").isin(todo: _*))
-        .groupBy(col("part_id")).agg(count(lit(1)).as("n_pages"))
-      // commit rule: a part PRESENT in the input commits 'done' even when all
-      // its pages are out of scope (0 in-scope pages — without this it would
-      // be recomputed on every resume); a part with NO input pages at all is
-      // treated as not-yet-seen (an interrupted run's unseen input must stay
-      // uncommitted — ResumeSpec's crash model)
-      val presentParts = webpages
-        .select(pmod(xxhash64(col("url")), lit(cfg.numParts.toLong)).cast("int").as("part_id"))
-        .distinct().collect().map(_.getInt(0)).toSet
       val wallMs = (System.nanoTime() - t0) / 1000000L
       val partialsBack = spark.read.schema(partialsSchema).parquet(partialsPath(cfg.outDir))
         .filter(col("part_id").isin(todo: _*))
-      val rows = Checkpoint.partStats(todo.filter(presentParts.contains),
-        partialsBack, pagesPerPart, wallMs)
+      // commit rule: a part PRESENT in the input commits 'done' even when all
+      // its pages are out of scope (0 in-scope pages — without this it would
+      // be recomputed on every resume); a part with NO input pages at all has
+      // no marker rows and is treated as not-yet-seen (an interrupted run's
+      // unseen input must stay uncommitted — ResumeSpec's crash model).
+      // Marker groups are tiny (≤2 rows per part), so this is a scan of the
+      // just-written partials, never of the input.
+      val pagesByPart = partialsBack.filter(col("subj").isNull)
+        .groupBy(col("part_id"))
+        .agg(sum(when(col("pred") === Stages.PageMarkerIn, col("n")).otherwise(0L))
+          .as("n_pages"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val rows = Checkpoint.partStats(todo.filter(pagesByPart.contains),
+        partialsBack.filter(col("subj").isNotNull), pagesByPart, wallMs)
       Checkpoint.commit(spark, cfg.outDir, rows)
       pages = rows.map(_.n_pages).sum
     }

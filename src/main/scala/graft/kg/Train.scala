@@ -38,7 +38,13 @@ object Train {
       weightRows: Seq[(String, Long, Double)], tau: Double,
       perPred: Seq[PredStats])
 
-  final case class PredStats(pred: String, nCand: Long, nPos: Long, nWeights: Long)
+  /** nIter/finalObjective expose LBFGS convergence per predicate: nIter ==
+    * the configured maxIter means the optimizer was CUT OFF rather than
+    * converged — a degenerate fit is then visible in the TrainMain summary
+    * instead of silently shipping weak weights. (-1 objective = no fit ran:
+    * the predicate had no positives, no candidates, or only positives.) */
+  final case class PredStats(pred: String, nCand: Long, nPos: Long, nWeights: Long,
+                             nIter: Int = 0, finalObjective: Double = -1.0)
 
   /** T1 — candidate instances: one row per ordered, span-disjoint mention
     * pair with hashed features (the train-side twin of Stages.relations:
@@ -47,7 +53,7 @@ object Train {
   def candidateInstances(tokenized: DataFrame, model: Broadcast[KgModel]): DataFrame = {
     val candUdf = udf { (tokens: Seq[String]) =>
       val m = model.value
-      val toks = tokens.toIndexedSeq
+      val toks = if (tokens == null) IndexedSeq.empty[String] else tokens.toIndexedSeq
       val ms = m.scanMentions(toks)
       if (ms.length < 2) Seq.empty[CandidateInstance]
       else {
@@ -118,8 +124,8 @@ object Train {
           .persist()
         val nCand = df.count()
         val nPos = df.filter(col("label") === 1.0).count()
-        val rows =
-          if (nCand == 0L || nPos == 0L || nPos == nCand) Seq.empty
+        val (rows, nIter, objective) =
+          if (nCand == 0L || nPos == 0L || nPos == nCand) (Seq.empty, 0, -1.0)
           else {
             val lr = new LogisticRegression()
               .setFitIntercept(false).setStandardization(false)
@@ -133,10 +139,12 @@ object Train {
               if (math.abs(w) >= minAbsWeight) out += ((p.pred, coef.indices(j).toLong, w))
               j += 1
             }
-            out.result()
+            val s = mdl.summary
+            (out.result(), s.totalIterations,
+              if (s.objectiveHistory.nonEmpty) s.objectiveHistory.last else -1.0)
           }
         df.unpersist()
-        (rows, PredStats(p.pred, nCand, nPos, rows.size.toLong))
+        (rows, PredStats(p.pred, nCand, nPos, rows.size.toLong, nIter, objective))
       }
       Trained(results.flatMap(_._1), tau = 0.0, perPred = results.map(_._2))
     } finally { cached.unpersist(); () }

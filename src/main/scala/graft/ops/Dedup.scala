@@ -170,14 +170,27 @@ object Dedup {
     * a connected group gets the group's minimum doc id as `comp`, and the
     * keep-one-per-cluster rule is then `doc_id == comp`.
     *
-    * Iterative min-label propagation as DataFrame joins: each round every
-    * node takes the min of its own label and its neighbors' labels, until a
-    * round changes nothing (converges in O(cluster diameter) rounds — near-dup
-    * clusters are shallow; a graph with diameter > maxIter would return
-    * partially-merged labels, so maxIter is a safety bound, not a tuning
-    * knob). localCheckpoint between rounds truncates the lineage so the plan
-    * does not grow with iterations. Only docs appearing in `pairs` are
-    * labeled (singletons are their own component trivially). */
+    * Min-label propagation accelerated by POINTER DOUBLING: each round every
+    * node first takes the min of its own and its neighbors' labels (one
+    * edges⋈labels join + hash agg), then jumps to its label's label
+    * (one labels⋈labels join) — label chains halve every round, so
+    * convergence is O(log diameter) rounds instead of O(diameter) (the
+    * classic large-star/small-star trick, e.g. Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"). localCheckpoint between rounds
+    * truncates the lineage so the plan does not grow with iterations.
+    *
+    * Scale shape: the neighbor-min is a hash aggregation with map-side
+    * partial combine (a hot node contributes one row per map partition, not
+    * per edge), and the per-round joins are plain equi-joins AQE can
+    * skew-split; every label value is itself a node id, so the jump join
+    * always matches. Only docs appearing in `pairs` are labeled (singletons
+    * are their own component trivially).
+    *
+    * Throws IllegalStateException if maxIter rounds do not converge — with
+    * doubling, 25 rounds cover diameters beyond 2^25, so hitting the bound
+    * means something is structurally wrong and silently-partial labels must
+    * never be returned (they would surface as inexplicable downstream
+    * mismatches). */
   def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -188,20 +201,36 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // 1) neighbor-min propagation (the changed flag rides along, so
+      //    convergence detection is a filter over the checkpointed result)
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
-      // the changed flag rides along in the same pass, so convergence
-      // detection is a filter over the checkpointed result — no extra join
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+      // checkpointed: it feeds BOTH sides of the jump join below, and labels
+      // frames are small (one row per node) — cheaper than recomputing the
+      // edges join twice
+      val step = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
           (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("changed"))
+        .localCheckpoint()
+      // 2) pointer doubling: comp := comp's own label (labels only ever
+      //    decrease, so label(comp) <= comp and least() is just a guard)
+      val parent = step.select(col("doc_id").as("p_id"), col("comp").as("p_comp"))
+      val next = step.as("s").join(parent.as("p"), col("s.comp") === col("p.p_id"), "left")
+        .select(col("s.doc_id").as("doc_id"),
+          least(col("s.comp"), coalesce(col("p.p_comp"), col("s.comp"))).as("comp"),
+          (col("s.changed") ||
+            coalesce(col("p.p_comp"), col("s.comp")) < col("s.comp")).as("changed"))
         .localCheckpoint()
       converged = next.filter(col("changed")).isEmpty
       labels = next.select(col("doc_id"), col("comp"))
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"components: no convergence after $maxIter pointer-doubling rounds " +
+          "(covers diameter 2^" + maxIter + ") — refusing to return partial labels")
     labels
   }
 

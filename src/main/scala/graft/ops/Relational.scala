@@ -24,9 +24,17 @@ object Relational {
     *
     * Contract: right rows unique per (key, ts). Result = left columns plus
     * an `asof` struct of `payload` columns (null when no right row precedes
-    * the left row — filter on it for inner semantics). */
+    * the left row — filter on it for inner semantics). The working columns
+    * `_ts`/`_side`/`_p` and the output column `asof` are RESERVED: inputs
+    * already carrying any of them are rejected up front (silent shadowing
+    * would corrupt the result). */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val reserved = Seq("_ts", "_side", "_p", "asof")
+    val clashes = (left.columns ++ right.columns).filter(reserved.contains).distinct
+    require(clashes.isEmpty,
+      s"asofJoin: input columns ${clashes.mkString(", ")} clash with reserved " +
+        s"working/output columns (${reserved.mkString(", ")}) — rename them first")
     val l2 = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))

@@ -43,18 +43,45 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: sign bits of dot products with
-    * `planes` pseudo-random hyperplanes (deterministic from xxhash64 of
-    * (dim, plane) — no RNG state, reproducible anywhere). */
-  def lshBucket(vec: Column, dims: Int, planes: Int): Column = {
+    * `planes` pseudo-random hyperplanes (deterministic hash of (dim, plane) —
+    * no RNG state, reproducible anywhere). mode=PortableMd5 derives the plane
+    * weights from the md5-60 family instead of xxhash64 — same plan shape,
+    * and an external SQL engine can replay the bucket assignment bit-exactly
+    * (the q_embed_lsh_topk oracle; xxhash64 stays the scale default). */
+  def lshBucket(vec: Column, dims: Int, planes: Int,
+                mode: HashMode = HashMode.XxHash): Column = {
+    // plane component w[d] = centered hash in [-0.5, 0.5)
+    def weight(d: Column, p: Int): Column = {
+      val h = mode match {
+        case HashMode.XxHash => pmod(xxhash64(d, lit(p)), lit(1000000L))
+        case HashMode.PortableMd5 =>
+          Portable.md5h60(concat_ws("_", d.cast("string"), lit(p.toString))) % 1000000L
+      }
+      h.cast("double") / 1000000.0 - 0.5
+    }
     val signBits = (0 until planes).map { p =>
-      // plane component w[d] = centered hash in [-0.5, 0.5)
       val dot = aggregate(
         zip_with(asDouble(vec), sequence(lit(0), lit(dims - 1)),
-          (x, d) => x * (pmod(xxhash64(d, lit(p)), lit(1000000L)).cast("double") / 1000000.0 - 0.5)),
+          (x, d) => x * weight(d, p)),
         lit(0.0), (s, x) => s + x)
       when(dot >= 0, shiftleft(lit(1L), p).cast("long")).otherwise(lit(0L))
     }
     signBits.reduce((a: Column, b: Column) => a + b)
+  }
+
+  /** DuckDB CTE body replaying lshBucket(mode=PortableMd5) over the
+    * `embeddings` table: (vec_id, embedding, bucket). The dot product is a
+    * list_reduce left fold in dimension order, matching Spark's aggregate()
+    * fold exactly (0.0 + x1 == x1, so the rounding sequence is identical). */
+  def lshBucketOracleSql(dims: Int, planes: Int): String = {
+    val terms = (0 until planes).map { p =>
+      val w = s"((${Portable.md5h60Sql(s"(d-1)::VARCHAR || '_$p'")} % 1000000)" +
+        "/1000000.0 - 0.5)"
+      val dot = s"list_reduce(list_transform(range(1, ${dims + 1}), " +
+        s"d -> embedding[d]::DOUBLE * $w), (s, x) -> s + x)"
+      s"(CASE WHEN $dot >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"SELECT vec_id, embedding, ($terms) AS bucket FROM embeddings"
   }
 
   /** IVF-flat centroids: deterministic seeding (the k vectors with smallest
@@ -146,11 +173,12 @@ object Similarity {
     * OpsSpec/PlanAuditSpec). */
   def lshTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
               vecCol: String, dims: Int, planes: Int, k: Int,
-              broadcastQueries: Boolean = true): DataFrame = {
+              broadcastQueries: Boolean = true,
+              mode: HashMode = HashMode.XxHash): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), dims, planes).as("bucket"))
+      lshBucket(col(vecCol), dims, planes, mode).as("bucket"))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), dims, planes).as("bucket"))
+      lshBucket(col(vecCol), dims, planes, mode).as("bucket"))
     val scored = c.join(if (broadcastQueries) broadcast(q) else q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))

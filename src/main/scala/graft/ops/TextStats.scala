@@ -103,11 +103,12 @@ object TextStats {
   // ---- DuckDB oracle generators (exact replays of the PortableMd5 mode) ----
 
   /** DuckDB replay of fingerprints(mode=PortableMd5) over `documents`,
-    * emitting (doc_id, n_fp, fp_min). */
-  def fingerprintOracleSql(k: Int = 8, window: Int = 4): String = {
+    * emitting (doc_id, n_fp, fp_min). `filterSql` ("", or "AND <pred>")
+    * narrows the document set, matching a Spark-side pre-filter. */
+  def fingerprintOracleSql(k: Int = 8, window: Int = 4, filterSql: String = ""): String = {
     // Spark pos is 0-based with pos < nkeep; SQL i is 1-based with i <= nkeep
     s"WITH g AS (SELECT doc_id, text, greatest(length(text) - ${k - 1 + window - 1}, 1) AS nkeep, " +
-      s"unnest(range(1, length(text) - ${k - 2})) AS i FROM documents WHERE length(text) >= $k), " +
+      s"unnest(range(1, length(text) - ${k - 2})) AS i FROM documents WHERE length(text) >= $k $filterSql), " +
       s"h AS (SELECT doc_id, nkeep, i, ${Portable.md5h60Sql(s"substr(text, i, $k)")} AS h FROM g), " +
       "win AS (SELECT doc_id, nkeep, i, min(h) OVER (PARTITION BY doc_id ORDER BY i " +
       s"ROWS BETWEEN CURRENT ROW AND ${window - 1} FOLLOWING) AS wm FROM h) " +

@@ -94,10 +94,14 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     val comp = Dedup.components(pairs).as[(Long, Long)].collect().toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L),
       comp.toString)
-    // a long path needs label propagation over multiple rounds
+    // a long path needs label propagation over multiple rounds; pointer
+    // doubling must collapse a diameter-11 path well inside 5 rounds
+    // (plain min-propagation would need 11)
     val path = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val comp2 = Dedup.components(path).as[(Long, Long)].collect().toMap
+    val comp2 = Dedup.components(path, maxIter = 5).as[(Long, Long)].collect().toMap
     assert(comp2.values.toSet == Set(1L), s"12-node path must collapse to 1: $comp2")
+    // non-convergence is an error, never silently-partial labels
+    assertThrows[IllegalStateException] { Dedup.components(path, maxIter = 1) }
   }
 
   test("as-of join: latest preceding payload per key, inclusive at equal ts") {

@@ -1,0 +1,54 @@
+#!/bin/bash
+# Opportunistic clean-window sampler for the north-rule scaling gate
+# (BASELINE.json: throughput scaling efficiency >= 0.8 from N to 4N workers).
+#
+# Loops INTERLEAVED pairs — one local[32] leg then one local[8] leg, each its
+# own JVM running graft.PipelineBench (1 untimed warmup + 2 timed runs) on the
+# same sf16 fixture — so every ratio is measured under the same host
+# conditions. Per-run /proc/stat busy/iowait/steal core-seconds ride in the
+# JSON, so tools/scaling_accept.py can reject pairs taken in contended
+# windows (visible steal, or busy-core variance between the legs).
+#
+# usage: tools/scaling_sampler.sh <classesSnapshotDir> [logFile] [sf]
+# Classes are snapshotted by the caller so recompiles don't mix binaries
+# mid-run.
+set -u
+CLASSES="$1"
+LOG="${2:-/root/repo/BENCH/scaling_samples.jsonl}"
+SF="${3:-16.0}"
+CP="$CLASSES:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
+--add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED \
+--add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED \
+--add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED \
+--add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED \
+--add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED \
+--add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+
+# visible-load probe: skip a pair when someone else is already burning cores
+# (saves a wasted ~8-min pair; guest-invisible contention is caught later by
+# the analyzer via the per-run counters)
+busy_cores() {
+  read -r _ u n s _ w _ _ st _ < /proc/stat
+  B0=$((u + n + s)); W0=$w; S0=${st:-0}
+  sleep 2
+  read -r _ u n s _ w _ _ st _ < /proc/stat
+  echo $(( (u + n + s - B0) / 2 ))  # ticks/sec /100 ~= cores*100/100... (100Hz: ticks over 2s / 2 = cores*100... keep raw)
+}
+
+pair=0
+while true; do
+  b=$(busy_cores)
+  # 100 Hz ticks over 2 s, halved => cores*100; >300 means >3 cores busy
+  if [ "$b" -gt 300 ]; then
+    echo "{\"sampler\":\"skip\",\"busy_ticks_per_sec\":$b,\"ts\":$(date +%s)}" >> "$LOG"
+    sleep 45
+    continue
+  fi
+  pair=$((pair + 1))
+  for CPUS in 32 8; do
+    echo "{\"sampler\":\"leg\",\"pair\":$pair,\"cpus\":$CPUS,\"ts\":$(date +%s)}" >> "$LOG"
+    java -Xmx32g $OPENS -Dspark.ui.enabled=false -cp "$CP" \
+      graft.PipelineBench "$CPUS" "$SF" 2 2>/dev/null | grep '"bench"' >> "$LOG"
+  done
+done
