@@ -16,12 +16,12 @@ import org.apache.spark.sql.functions._
   * widen to int128) are cast back to bigint. Column names are aliased
   * identically on both sides.
   *
-  * Signature-based ops (minhash/simhash/fingerprints) run in
+  * Signature-based ops (minhash/simhash/fingerprints/LSH buckets) run in
   * HashMode.PortableMd5 here so DuckDB replays them bit-exactly (xxhash64
   * stays the scale default — same plan shape, audited once). The remaining
   * no-oracle queries are approximate or not SQL-expressible BY DESIGN:
-  * q_agg_approx (HLL sketch; exact twin in-query), q_embed_ivf_topk /
-  * q_embed_lsh_topk (ANN; recall vs brute force spec-tested),
+  * q_agg_approx (HLL sketch; exact twin in-query), q_embed_ivf_topk (ANN
+  * with iterative k-means centroids; recall vs brute force spec-tested),
   * q_pipeline_triples + q_train_labels (the KG pipeline / its training
   * labeling — gated by P/R and TrainSpec instead). Each is covered by a
   * ScalaTest spec (HarnessSpec/OpsSpec/TrainSpec).
@@ -199,7 +199,30 @@ object SparkEntry {
         .except(li.filter(col("l_returnflag") === "R").select(col("l_orderkey")))
     }),
 
+    // nested-loop theta join — sanctioned ONLY with a broadcast-small side
+    // (here the 5-row region dim): with no equi-key the planner's only
+    // physical choice is BroadcastNestedLoopJoin, which is fine when one side
+    // is dim-sized and a scale-killer otherwise (the range/as-of queries
+    // show the equi-join rewrites to use instead)
+    "q_join_nl" -> ((s, d) => t(s, d, "nation")
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") < col("r_regionkey"))
+      .groupBy(col("r_name")).agg(count(lit(1)).as("n"))),
+
     // ---- strings / dates / arrays / json ----
+    // map functions: build a per-user map(event_type -> count), filter and
+    // rescale it with map_filter/transform_values, then EXPLODE back to rows
+    // (map columns never cross the oracle boundary — engines hash maps
+    // differently, so the comparison surface stays plain columns)
+    "q_map_fns" -> ((s, d) => {
+      val counts = t(s, d, "events").groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy(col("user_id"))
+        .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("n")))))
+          .as("m"))
+        .select(col("user_id"),
+          explode(transform_values(map_filter(col("m"), (_, v) => v >= 3),
+            (_, v) => v * 10L)).as(Seq("event_type", "score")))
+    }),
     "q_date_bucket" -> ((s, d) => t(s, d, "events")
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"))),
@@ -244,12 +267,20 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashTable(t(s, d, "documents"), "doc_id", "text")),
 
-    // the cluster step after pairing: connected components by min-label
-    // propagation; oracle replays it with a recursive CTE
+    // the cluster step after pairing: connected components by pointer-doubling
+    // min-label propagation; oracle replays it with a recursive CTE
     "q_dedup_components" -> ((s, d) =>
       Dedup.components(Dedup.jaccardPairs(
         t(s, d, "documents").filter(col("doc_id") % 5 === 0),
         "doc_id", "text", "source", shingleN = 1, minJaccardPct = 50))),
+
+    // embedding-cosine near-dup: LSH-bucket blocking + exact cosine check.
+    // The testdata embeddings carry no planted near-dups (max pairwise cosine
+    // ~0.51 at sf0.01), so the threshold 0.35 is chosen to exercise the
+    // operator non-vacuously; the semantics are threshold-independent
+    "q_dedup_embed" -> ((s, d) =>
+      Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        dims = 64, planes = 4, minCosine = 0.35, mode = HashMode.PortableMd5)),
 
     // ---- training-data ops: similarity search ----
     "q_embed_topk" -> ((s, d) => {
@@ -472,6 +503,17 @@ object SparkEntry {
         " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b " +
         "ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"),
     "q_dedup_simhash" -> Dedup.simhashOracleSql,
+    "q_dedup_embed" ->
+      (s"WITH b AS (${Similarity.lshBucketOracleSql(dims = 64, planes = 4)}) " +
+        "SELECT a.vec_id AS doc_a, c.vec_id AS doc_b FROM b a JOIN b c " +
+        "ON a.bucket = c.bucket AND a.vec_id < c.vec_id " +
+        "WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= 0.35"),
+    "q_join_nl" ->
+      ("SELECT r_name, count(*) AS n FROM nation JOIN region ON n_regionkey < r_regionkey " +
+        "GROUP BY r_name"),
+    "q_map_fns" ->
+      ("SELECT user_id, event_type, cast(n * 10 as bigint) AS score FROM " +
+        "(SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2) WHERE n >= 3"),
     "q_fingerprint" -> TextStats.fingerprintOracleSql(k = 8, window = 4,
       filterSql = "AND doc_id % 5 = 0"),
     "q_embed_lsh_topk" ->

@@ -165,6 +165,25 @@ object Dedup {
   /** Hamming distance between two simhash columns (pure Catalyst). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Embedding-cosine near-dup pairs: docs whose embedding vectors share a
+    * random-hyperplane LSH bucket AND have cosine >= minCosine. The bucket is
+    * the blocking key (candidate generation is an equi-join on bucket, never
+    * a cross product — same scale shape as minhashPairs); the cosine filter
+    * is the exact check within the block. Recall < 1 by construction (a pair
+    * split across buckets is missed) — raise `planes`' inverse or union
+    * neighbor buckets for higher recall. mode=PortableMd5 makes the blocking
+    * replayable in DuckDB (q_dedup_embed carries an exact oracle). */
+  def embeddingPairs(docs: DataFrame, idCol: String, vecCol: String,
+                     dims: Int, planes: Int, minCosine: Double,
+                     mode: HashMode = HashMode.XxHash): DataFrame = {
+    val b = docs.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      Similarity.lshBucket(col(vecCol), dims, planes, mode).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
+      .filter(Similarity.cosine(col("a.v"), col("b.v")) >= minCosine)
+      .select(col("a.vid").as("doc_a"), col("b.vid").as("doc_b"))
+  }
+
   /** Connected components over an undirected near-dup pair list
     * (doc_a, doc_b) — the CLUSTER step after candidate pairing: every doc in
     * a connected group gets the group's minimum doc id as `comp`, and the

@@ -54,10 +54,15 @@ object StreamOps {
 
   /** Custom keyed state: per-user sessions closed after `gapMs` of EVENT-TIME
     * silence — the streaming twin of q_sessionize_batch's lag()-gap rule.
-    * A session closes when the watermark passes (last event + gap); the
-    * event-time timeout makes the result a deterministic function of the data
-    * (a processing-time timeout would not be reproducible), and the watermark
-    * bounds state for idle users at scale. Emits one SessionUpdate per closed
+    * A session normally closes when the watermark passes (last event + gap);
+    * gaps VISIBLE inside one batch close immediately: incoming timestamps are
+    * folded in sorted order against the open session, and every internal gap
+    * > gapMs emits a closed session right away (replay/backfill batches and a
+    * lagging watermark therefore produce the same sessions the batch rule
+    * would — microbatch boundaries never merge two gap-separated sessions).
+    * The event-time timeout keeps the result a deterministic function of the
+    * data (a processing-time timeout would not be), and the watermark bounds
+    * state for idle users at scale. Emits one SessionUpdate per closed
     * session. `events` needs (user_id, ts) columns. */
   def sessionize(events: DataFrame, gapMs: Long,
                  lateness: String = "0 seconds"): Dataset[SessionUpdate] = {
@@ -77,16 +82,29 @@ object StreamOps {
             state.remove()
             Iterator.single(SessionUpdate(userId, s.n, new Timestamp(s.startMs), new Timestamp(s.endMs)))
           } else {
-            // rows at/after the watermark only (Spark drops late input here)
-            val ts = rows.map(_._2.getTime).toSeq
-            val prev = state.getOption.getOrElse(SessionState(0L, Long.MaxValue, Long.MinValue))
-            val next = SessionState(prev.n + ts.size,
-              math.min(prev.startMs, if (ts.isEmpty) prev.startMs else ts.min),
-              math.max(prev.endMs, if (ts.isEmpty) prev.endMs else ts.max))
-            state.update(next)
-            // close when event time (the watermark) passes last-event + gap
-            state.setTimeoutTimestamp(next.endMs + gapMs)
-            Iterator.empty
+            // rows at/after the watermark only (Spark drops late input here);
+            // fold them in ts order: extend the open session while within the
+            // gap, otherwise close it and start a new one
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            val closed = Seq.newBuilder[SessionUpdate]
+            var cur: SessionState = state.getOption.orNull
+            ts.foreach { t =>
+              cur match {
+                case null => cur = SessionState(1L, t, t)
+                case s if t > s.endMs + gapMs =>
+                  closed += SessionUpdate(userId, s.n,
+                    new Timestamp(s.startMs), new Timestamp(s.endMs))
+                  cur = SessionState(1L, t, t)
+                case s =>
+                  cur = SessionState(s.n + 1, math.min(s.startMs, t), math.max(s.endMs, t))
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              // close when event time (the watermark) passes last-event + gap
+              state.setTimeoutTimestamp(cur.endMs + gapMs)
+            }
+            closed.result().iterator
           }
       }
   }

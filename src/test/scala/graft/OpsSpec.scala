@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Dedup, HashMode, Multimodal, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -102,6 +102,23 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assert(comp2.values.toSet == Set(1L), s"12-node path must collapse to 1: $comp2")
     // non-convergence is an error, never silently-partial labels
     assertThrows[IllegalStateException] { Dedup.components(path, maxIter = 1) }
+  }
+
+  test("embedding near-dup pairs: planted duplicate found, distinct vectors not") {
+    // v1 == v2 (exact dup, same bucket by construction), v3 orthogonal-ish
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.2f, 0.1f, 0.0f)),
+      (2L, Array(1.0f, 0.2f, 0.1f, 0.0f)),
+      (3L, Array(-1.0f, 0.5f, -0.3f, 0.9f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding",
+      dims = 4, planes = 2, minCosine = 0.95).as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+    // portable mode finds the same planted dup (identical vectors always
+    // share a bucket regardless of the plane hash family)
+    val portable = Dedup.embeddingPairs(vecs, "vec_id", "embedding",
+      dims = 4, planes = 2, minCosine = 0.95, mode = HashMode.PortableMd5)
+      .as[(Long, Long)].collect().toSet
+    assert(portable == Set((1L, 2L)), portable.toString)
   }
 
   test("as-of join: latest preceding payload per key, inclusive at equal ts") {

@@ -127,6 +127,12 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q_join_nl plans the sanctioned BroadcastNestedLoopJoin (dim-sized side)") {
+    val plan = formatted(SparkEntry.queries("q_join_nl")(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
 
 /** Shared broadcast model for plan audits (built once, in-memory). */

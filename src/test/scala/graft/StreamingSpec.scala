@@ -133,4 +133,48 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
         s"user 1's second session must close independently: ${emitted()}")
     } finally q.stop()
   }
+
+  test("sessionize: gap inside ONE microbatch splits sessions (replay/backfill)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(s: String): Timestamp = Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, Timestamp)]
+    val events = in.toDF().toDF("user_id", "ts")
+
+    val q = StreamOps.sessionize(events, gapMs = 30L * 60 * 1000).writeStream
+      .format("memory").queryName("sessions_split").outputMode("append").start()
+    try {
+      def emitted() = spark.table("sessions_split")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getTimestamp(2), r.getTimestamp(3))).toSet
+
+      // one batch carries THREE gap-separated sessions for user 7 (a backfill
+      // shape): the two complete ones must close immediately — merging them
+      // because they shared a microbatch would diverge from the batch rule
+      in.addData(
+        (7L, at("2024-01-01 08:00:00")), (7L, at("2024-01-01 08:10:00")),
+        (7L, at("2024-01-01 10:00:00")),
+        (7L, at("2024-01-01 12:00:00")), (7L, at("2024-01-01 12:05:00")))
+      q.processAllAvailable()
+      assert(emitted() == Set(
+        (7L, 2L, at("2024-01-01 08:00:00"), at("2024-01-01 08:10:00")),
+        (7L, 1L, at("2024-01-01 10:00:00"), at("2024-01-01 10:00:00"))),
+        s"in-batch gaps must close all but the trailing session: ${emitted()}")
+
+      // next batch: an event > gap after the OPEN session but before the
+      // watermark passes its timeout — must close the 12:00 session, not merge
+      in.addData((7L, at("2024-01-01 12:50:00")))
+      q.processAllAvailable()
+      assert(emitted().contains(
+        (7L, 2L, at("2024-01-01 12:00:00"), at("2024-01-01 12:05:00"))),
+        s"lagging-watermark arrival must still split on the gap: ${emitted()}")
+
+      // the trailing session closes normally via the event-time timeout
+      in.addData((8L, at("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      assert(emitted().contains(
+        (7L, 1L, at("2024-01-01 12:50:00"), at("2024-01-01 12:50:00"))),
+        s"trailing open session must close via watermark timeout: ${emitted()}")
+    } finally q.stop()
+  }
 }
