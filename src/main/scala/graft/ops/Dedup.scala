@@ -176,11 +176,15 @@ object Dedup {
   def embeddingPairs(docs: DataFrame, idCol: String, vecCol: String,
                      dims: Int, planes: Int, minCosine: Double,
                      mode: HashMode = HashMode.XxHash): DataFrame = {
+    // norms precomputed per VECTOR (not per pair) — bit-identical cosine,
+    // one array fold per pair instead of three (Similarity.norm scaladoc)
     val b = docs.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      Similarity.norm(col(vecCol)).as("n"),
       Similarity.lshBucket(col(vecCol), dims, planes, mode).as("bucket"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
-      .filter(Similarity.cosine(col("a.v"), col("b.v")) >= minCosine)
+      .filter(Similarity.dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))
+        >= minCosine)
       .select(col("a.vid").as("doc_a"), col("b.vid").as("doc_b"))
   }
 
@@ -224,17 +228,15 @@ object Dedup {
       //    convergence detection is a filter over the checkpointed result)
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
-      // checkpointed: it feeds BOTH sides of the jump join below, and labels
-      // frames are small (one row per node) — cheaper than recomputing the
-      // edges join twice
       val step = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
           (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("changed"))
-        .localCheckpoint()
-      // 2) pointer doubling: comp := comp's own label (labels only ever
-      //    decrease, so label(comp) <= comp and least() is just a guard)
-      val parent = step.select(col("doc_id").as("p_id"), col("comp").as("p_comp"))
+      // 2) pointer jump against the PREVIOUS round's labels — the classic
+      //    comp_{t+1}(v) = comp_t(comp_t(v)) form: `labels` is already
+      //    checkpointed, so the round materializes exactly once (labels only
+      //    ever decrease, so the jump can only lower comp; least() guards)
+      val parent = labels.select(col("doc_id").as("p_id"), col("comp").as("p_comp"))
       val next = step.as("s").join(parent.as("p"), col("s.comp") === col("p.p_id"), "left")
         .select(col("s.doc_id").as("doc_id"),
           least(col("s.comp"), coalesce(col("p.p_comp"), col("s.comp"))).as("comp"),
@@ -246,6 +248,8 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"components: converged=$converged after $i rounds (maxIter=$maxIter)")
     if (!converged)
       throw new IllegalStateException(
         s"components: no convergence after $maxIter pointer-doubling rounds " +

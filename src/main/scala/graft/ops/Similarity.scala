@@ -19,22 +19,34 @@ object Similarity {
   private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
   /** Cosine similarity of two array<float|double> columns (double math). */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = asDouble(a); val bd = asDouble(b)
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, x) => s + x)
-    val na = aggregate(transform(ad, x => x * x), lit(0.0), (s, x) => s + x)
-    val nb = aggregate(transform(bd, x => x * x), lit(0.0), (s, x) => s + x)
-    dot / (sqrt(na) * sqrt(nb))
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Dot product of two array<float|double> columns (deterministic left fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (s, x) => s + x)
+
+  /** L2 norm of an array<float|double> column. Precompute this ONCE PER ROW
+    * before a pairwise join: cosine of a pair is then dot/(normA*normB) with
+    * bit-identical value (same sqrt of the same fold), but the per-pair work
+    * drops from three array folds to one — the dominant cost of every
+    * pairwise-scoring op here. */
+  def norm(v: Column): Column = {
+    val vd = asDouble(v)
+    sqrt(aggregate(transform(vd, x => x * x), lit(0.0), (s, x) => s + x))
   }
 
   /** Brute-force top-k: for each query row, rank all candidates by cosine
     * (desc, candidate id tie-break). queries should be small (broadcast). */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn")))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -48,21 +60,37 @@ object Similarity {
     * weights from the md5-60 family instead of xxhash64 — same plan shape,
     * and an external SQL engine can replay the bucket assignment bit-exactly
     * (the q_embed_lsh_topk oracle; xxhash64 stays the scale default). */
+  /** Plane component w[d] = centered hash in [-0.5, 0.5). Computed on the
+    * DRIVER with the same bit semantics as the engine hash expressions —
+    * xxhash64(int d, int p) is XXH64.hashInt(p, XXH64.hashInt(d, 42)) (seed
+    * 42, column-chained), md5h60 is the first 15 md5 hex chars as a long —
+    * so the literal weights equal what a per-row hash expression would
+    * produce (OpsSpec asserts equality against the runtime expressions). */
+  private[graft] def planeWeight(d: Int, p: Int, mode: HashMode): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val h = mode match {
+      case HashMode.XxHash =>
+        val x = XXH64.hashInt(p, XXH64.hashInt(d, 42L))
+        ((x % 1000000L) + 1000000L) % 1000000L // pmod
+      case HashMode.PortableMd5 =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"${d}_$p".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000L
+    }
+    h.toDouble / 1000000.0 - 0.5
+  }
+
   def lshBucket(vec: Column, dims: Int, planes: Int,
                 mode: HashMode = HashMode.XxHash): Column = {
-    // plane component w[d] = centered hash in [-0.5, 0.5)
-    def weight(d: Column, p: Int): Column = {
-      val h = mode match {
-        case HashMode.XxHash => pmod(xxhash64(d, lit(p)), lit(1000000L))
-        case HashMode.PortableMd5 =>
-          Portable.md5h60(concat_ws("_", d.cast("string"), lit(p.toString))) % 1000000L
-      }
-      h.cast("double") / 1000000.0 - 0.5
-    }
+    // The weights depend only on (d, p), so they are computed ONCE on the
+    // driver and embedded as a literal array per plane: the per-row work is
+    // then a pure zip_with/aggregate dot product, not dims×planes hash
+    // evaluations per row (measured ~6x on q_dedup_embed at sf0.1).
     val signBits = (0 until planes).map { p =>
+      val weights = (0 until dims).map(d => planeWeight(d, p, mode)).toArray
       val dot = aggregate(
-        zip_with(asDouble(vec), sequence(lit(0), lit(dims - 1)),
-          (x, d) => x * weight(d, p)),
+        zip_with(asDouble(vec), lit(weights), (x, w) => x * w),
         lit(0.0), (s, x) => s + x)
       when(dot >= 0, shiftleft(lit(1L), p).cast("long")).otherwise(lit(0L))
     }
@@ -147,12 +175,14 @@ object Similarity {
     }
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"),
         explode(probeUdf(transform(col(vecCol), x => x.cast("float")))).as("cell")))
     val c = ivfAssign(candidates, idCol, vecCol, centroids)
-      .select(col("id").as("neighbor_id"), col("vec").as("cv"), col("cell"))
+      .select(col("id").as("neighbor_id"), col("vec").as("cv"),
+        norm(col("vec")).as("cn"), col("cell"))
     val scored = c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -176,12 +206,14 @@ object Similarity {
               broadcastQueries: Boolean = true,
               mode: HashMode = HashMode.XxHash): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"),
       lshBucket(col(vecCol), dims, planes, mode).as("bucket"))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"),
       lshBucket(col(vecCol), dims, planes, mode).as("bucket"))
     val scored = c.join(if (broadcastQueries) broadcast(q) else q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))

@@ -104,6 +104,21 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assertThrows[IllegalStateException] { Dedup.components(path, maxIter = 1) }
   }
 
+  test("lshBucket literal plane weights equal the runtime hash expressions") {
+    val grid = (for { d <- 0 until 8; p <- 0 until 4 } yield (d, p)).toDF("d", "p")
+    val viaXx = grid.select(col("d"), col("p"),
+        (pmod(xxhash64(col("d"), col("p")), lit(1000000L)).cast("double") / 1000000.0 - 0.5)
+          .as("w")).as[(Int, Int, Double)].collect()
+    viaXx.foreach { case (d, p, w) =>
+      assert(Similarity.planeWeight(d, p, HashMode.XxHash) == w, s"xx d=$d p=$p") }
+    val viaMd5 = grid.select(col("d"), col("p"),
+        ((graft.ops.Portable.md5h60(concat_ws("_", col("d").cast("string"),
+          col("p").cast("string"))) % 1000000L).cast("double") / 1000000.0 - 0.5)
+          .as("w")).as[(Int, Int, Double)].collect()
+    viaMd5.foreach { case (d, p, w) =>
+      assert(Similarity.planeWeight(d, p, HashMode.PortableMd5) == w, s"md5 d=$d p=$p") }
+  }
+
   test("embedding near-dup pairs: planted duplicate found, distinct vectors not") {
     // v1 == v2 (exact dup, same bucket by construction), v3 orthogonal-ish
     val vecs = Seq(
