@@ -27,6 +27,13 @@ object PipelineBench {
     val repartitionInput = !flags.contains("norepart")
     // "aho": Aho–Corasick mention scan instead of the 2-gram hash-map scan
     val mentionMode = if (flags.contains("aho")) "aho" else "scan"
+    // "p<N>": fix the partition count P (default 4*cpus). For an N-vs-4N
+    // scaling pair BOTH legs must run the SAME job — same P — exactly as the
+    // same application would on clusters of two sizes; letting P follow the
+    // leg's thread count (the round-1/2 protocol) compares two slightly
+    // different jobs and flatters the small leg (fewer partitions = less
+    // per-partition overhead).
+    val partsOverride = flags.collectFirst { case f if f.matches("p\\d+") => f.drop(1).toInt }
     val fixDir = s"/root/repo/fixtures/sf$sf"
 
     val spark = SparkSession.builder()
@@ -35,6 +42,12 @@ object PipelineBench {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // 32 MB input splits: the sf16 fixture is ~2.8 GB, which the 128 MB
+      // default cuts into ~22 splits — idling a third of a 32-thread leg
+      // through the whole scan stage. Sizing splits to the job (brief: "size
+      // spark.sql.files.maxPartitionBytes so partitions fit … at the target
+      // SF") keeps every leg's scan stage fully parallel.
+      .config("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -44,7 +57,7 @@ object PipelineBench {
     val webpages = spark.read.parquet(s"$fixDir/webpages.parquet")
     val nPages = webpages.count() // warm file listing/footers out of the timed path
 
-    val parts = math.max(4 * cpus, 32)
+    val parts = partsOverride.getOrElse(math.max(4 * cpus, 32))
     var triplesOut = 0L
     // /proc/stat accounting per run: on this shared VM the hypervisor steals
     // a time-varying share of the 32 vCPUs (measured up to ~25%+); recording

@@ -33,28 +33,31 @@ def main(path: str) -> int:
     accepted = []
     for pair in sorted(pairs):
         p = pairs[pair]
-        if 32 not in p or 8 not in p:
+        sizes = sorted(p.keys())
+        if len(sizes) != 2 or sizes[1] != 4 * sizes[0]:
             continue
-        t32 = sorted(r["sec"] for r in p[32])[0]  # best-of-2 (min noise bias)
-        t8 = sorted(r["sec"] for r in p[8])[0]
-        m32 = sorted(r["sec"] for r in p[32])[(len(p[32]) - 1) // 2]
-        m8 = sorted(r["sec"] for r in p[8])[(len(p[8]) - 1) // 2]
-        steal = max(r["steal_cores"] for r in p[32] + p[8])
-        iow = max(r["iowait_cores"] for r in p[32] + p[8])
-        eff_med = (m8 / m32) / 4
-        eff_best = (t8 / t32) / 4
+        small, big = sizes
+        mb = sorted(r["sec"] for r in p[big])[(len(p[big]) - 1) // 2]
+        ms = sorted(r["sec"] for r in p[small])[(len(p[small]) - 1) // 2]
+        bb = sorted(r["sec"] for r in p[big])[0]
+        bs = sorted(r["sec"] for r in p[small])[0]
+        steal = max(r["steal_cores"] for r in p[big] + p[small])
+        iow = max(r["iowait_cores"] for r in p[big] + p[small])
+        eff_med = (ms / mb) / 4
+        eff_best = (bs / bb) / 4
         clean = steal < 0.5
         ok = clean and eff_med >= 0.8
-        print(f"pair {pair:3d}: t32_med={m32:7.1f}s t8_med={m8:7.1f}s "
-              f"eff_med={eff_med:.2f} eff_best={eff_best:.2f} "
+        print(f"pair {pair:3d} [{small}->{big}]: t{big}_med={mb:7.1f}s "
+              f"t{small}_med={ms:7.1f}s eff_med={eff_med:.2f} eff_best={eff_best:.2f} "
               f"steal_max={steal:.1f} iow_max={iow:.1f} "
               f"{'ACCEPT' if ok else ('clean' if clean else 'contended')}")
         if ok:
-            accepted.append((pair, m32, m8, eff_med))
+            accepted.append((pair, small, big, mb, ms, eff_med))
     if accepted:
-        best = max(accepted, key=lambda a: a[3])
+        best = max(accepted, key=lambda a: a[5])
         print(f"\nACCEPTED {len(accepted)} pair(s); best: pair {best[0]} "
-              f"t32={best[1]:.1f}s t8={best[2]:.1f}s eff={best[3]:.2f}")
+              f"[{best[1]}->{best[2]}] t_big={best[3]:.1f}s t_small={best[4]:.1f}s "
+              f"eff={best[5]:.2f}")
         return 0
     print("\nno accepted pair yet")
     return 1

@@ -46,9 +46,13 @@ while true; do
     continue
   fi
   pair=$((pair + 1))
-  for CPUS in 32 8; do
+  # alternate pair shapes: odd pairs 8->32 (P=128 both legs), even pairs
+  # 4->16 (P=64 both legs). Both satisfy the N->4N rule; the 16-thread leg
+  # leaves bandwidth headroom, so it is robust to neighbor contention.
+  if [ $((pair % 2)) -eq 1 ]; then LEGS="32 8"; P="p128"; else LEGS="16 4"; P="p64"; fi
+  for CPUS in $LEGS; do
     echo "{\"sampler\":\"leg\",\"pair\":$pair,\"cpus\":$CPUS,\"ts\":$(date +%s)}" >> "$LOG"
     java -Xmx32g $OPENS -Dspark.ui.enabled=false -cp "$CP" \
-      graft.PipelineBench "$CPUS" "$SF" 2 2>/dev/null | grep '"bench"' >> "$LOG"
+      graft.PipelineBench "$CPUS" "$SF" 2 "$P" 2>/dev/null | grep '"bench"' >> "$LOG"
   done
 done
