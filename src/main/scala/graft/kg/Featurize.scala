@@ -131,11 +131,15 @@ object Featurize {
       val (left, right) = if (forward) (m1, m2) else (m2, m1)
       val lo = math.min(math.max(left.end, 0), n)
       val hi = math.min(math.max(right.begin, 0), n)
-      val out = new scala.collection.mutable.ArrayBuffer[Long](2 * (hi - lo) + 8)
+      // primitive buffer (an ArrayBuffer[Long] would box every id — measurable
+      // allocator churn at m² pairs per sentence); exact content bound:
+      // (hi-lo) uni + (hi-lo-1) bi + dep + gap + tp + 2 bef + 2 aft
+      val buf = new Array[Long](2 * math.max(hi - lo, 0) + 7)
+      var m = 0
       var i = lo
       while (i < hi) {
-        out += uniH(d)(i)
-        if (i + 1 < hi) out += biH(d)(i)
+        buf(m) = uniH(d)(i); m += 1
+        if (i + 1 < hi) { buf(m) = biH(d)(i); m += 1 }
         i += 1
       }
       val chain = new java.lang.StringBuilder()
@@ -144,15 +148,15 @@ object Featurize {
         if (verb(i)) { if (chain.length > 0) chain.append('>'); chain.append(tokens(i)) }
         i += 1
       }
-      if (chain.length > 0) out += hash(dir + "dep:" + chain.toString)
-      out += hash(dir + "gap:" + math.min(math.max(hi - lo, 0), 10))
-      out += hash(dir + "tp:" + m1.entType + "_" + m2.entType)
+      if (chain.length > 0) { buf(m) = hash(dir + "dep:" + chain.toString); m += 1 }
+      buf(m) = hash(dir + "gap:" + math.min(math.max(hi - lo, 0), 10)); m += 1
+      buf(m) = hash(dir + "tp:" + m1.entType + "_" + m2.entType); m += 1
       var k = math.max(left.begin - 2, 0)
-      while (k < left.begin && k < n) { out += befH(d)(k); k += 1 }
+      while (k < left.begin && k < n) { buf(m) = befH(d)(k); m += 1; k += 1 }
       k = right.end
       val kEnd = math.min(right.end + 2, n)
-      while (k < kEnd) { if (k >= 0) out += aftH(d)(k); k += 1 }
-      out.toArray
+      while (k < kEnd) { if (k >= 0) { buf(m) = aftH(d)(k); m += 1 }; k += 1 }
+      if (m == buf.length) buf else java.util.Arrays.copyOf(buf, m)
     }
   }
 

@@ -21,6 +21,16 @@ final class KgModel(
     * by AhoSpec/PipelineSpec. */
   @transient lazy val aho: TokenAho = TokenAho.build((uni.values ++ bi.values).toSeq)
 
+  /** Bigram dictionary as a two-level map (first token → second token →
+    * entry), built once per executor JVM: the scan probes it WITHOUT
+    * concatenating "t1 t2" per position — at corpus scale that concat was one
+    * short-lived String per token of input, pure allocator/memory-bandwidth
+    * churn on wide executors. */
+  @transient private lazy val biNested: Map[String, Map[String, DictEntry]] =
+    bi.groupBy(_._1.takeWhile(_ != ' ')).map { case (t1, grp) =>
+      t1 -> grp.map { case (surface, e) => surface.drop(t1.length + 1) -> e }
+    }
+
   /** Greedy longest-match dictionary scan over lowercase tokens (pinned
     * semantics, SURVEY.md §2 A6): at each position prefer the 2-gram match,
     * consume matched tokens, advance. The broadcast-join implementation in
@@ -33,7 +43,8 @@ final class KgModel(
     while (i < n) {
       var matched = false
       if (i + 1 < n) {
-        val e = bi.getOrElse(tokens(i) + " " + tokens(i + 1), null)
+        val inner = biNested.getOrElse(tokens(i), null)
+        val e = if (inner == null) null else inner.getOrElse(tokens(i + 1), null)
         if (e != null) {
           out += Mention(e.entityId, e.canonical, e.entType, i, i + 2)
           i += 2; matched = true
