@@ -2,7 +2,6 @@ package graft.text
 
 import java.nio.charset.{CharacterCodingException, CodingErrorAction, StandardCharsets}
 import java.nio.ByteBuffer
-import java.util.regex.Pattern
 
 /** Deterministic, total, locale-free HTML-to-text extraction.
   *
@@ -31,13 +30,40 @@ import java.util.regex.Pattern
   *     "\n".
   */
 object Extract {
-  // one pass for all removable noise; backreference keeps script/style paired
-  private val NoiseRe = Pattern.compile(
-    "(?is)<(script|style)\\b[^>]*>.*?</\\1[^>]*>|<!--.*?-->")
-  // one pass for every remaining tag; per-match block test decides "\n" vs ""
-  private val TagRe = Pattern.compile("(?s)<[^>]*>")
-  private val BlockRe = Pattern.compile(
-    "(?is)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|header|footer|blockquote)\\b[^>]*>")
+  /** The pinned step-2/3 semantics in java.util.regex form. The production
+    * path below is a hand-rolled scanner with EXACTLY these semantics
+    * (StripEquivalenceSpec fuzzes the two against each other) — the regex
+    * engine's per-page cost dominated the pipeline's CPU profile:
+    *   noise:  (?is)<(script|style)\b[^>]*>.*?</\1[^>]*>|<!--.*?-->
+    *   tag:    (?s)<[^>]*>   → "\n" when BLOCK, "" otherwise
+    *   block:  (?is)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|
+    *                   header|footer|blockquote)\b[^>]*>
+    * Scanner fidelity notes: \b is java.util.regex's default ASCII word
+    * boundary; (?i) without UNICODE_CASE folds ASCII ONLY (so e.g. U+017F
+    * 'ſ' does NOT match 's' — asciiCi below preserves that). */
+  private val BlockNames = Array(
+    "p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
+    "tr", "table", "section", "article", "header", "footer", "blockquote")
+
+  /** java.util.regex's \b word-char test WITHOUT UNICODE_CHARACTER_CLASS:
+    * quirk — it is Unicode letters/digits plus '_' (Pattern.Bound uses
+    * Character.isLetterOrDigit), even though \w stays ASCII-only. */
+  private def isWordChar(c: Char): Boolean =
+    c == '_' || Character.isLetterOrDigit(c)
+
+  /** ASCII-only case-insensitive region match against a lowercase literal —
+    * the exact folding of Pattern.CASE_INSENSITIVE without UNICODE_CASE. */
+  private def asciiCi(s: String, from: Int, lit: String): Boolean = {
+    if (from < 0 || from + lit.length > s.length) return false
+    var k = 0
+    while (k < lit.length) {
+      val c = s.charAt(from + k)
+      val f = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      if (f != lit.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
 
   /** Step 1 — total UTF-8 decode. */
   def decodeUtf8(bytes: Array[Byte]): String = {
@@ -49,19 +75,106 @@ object Extract {
     catch { case _: CharacterCodingException => "" } // unreachable with REPLACE; belt+braces
   }
 
-  /** Steps 2–3 — strip markup (two passes total). */
-  def stripMarkup(html: String): String = {
-    val noNoise = NoiseRe.matcher(html).replaceAll("")
-    val m = TagRe.matcher(noNoise)
-    val sb = new java.lang.StringBuilder(noNoise.length)
+  /** Steps 2–3 — strip markup (two passes total; fusing them would change
+    * edge semantics — noise removal can create new tag adjacencies that the
+    * tag pass must then see, e.g. "<" + "<!--x-->" + "b>"). */
+  def stripMarkup(html: String): String =
+    stripTags(stripNoise(html))
+
+  /** Step 2 — one left-to-right pass removing script/style elements and
+    * comments; leftmost alternative wins, an unclosed construct falls
+    * through (its interior is then scanned too, exactly like the regex). */
+  private def stripNoise(s: String): String = {
+    val n = s.length
+    var p = s.indexOf('<')
+    if (p < 0) return s
+    var sb: java.lang.StringBuilder = null
     var last = 0
-    while (m.find()) {
-      sb.append(noNoise, last, m.start())
-      if (BlockRe.matcher(m.group()).matches()) sb.append('\n')
-      last = m.end()
+    while (p >= 0) {
+      var end = -1 // exclusive end of a noise match starting at p, or -1
+      // alt 1: <(script|style)\b[^>]*>.*?</\1[^>]*>
+      val name =
+        if (asciiCi(s, p + 1, "script")) "script"
+        else if (asciiCi(s, p + 1, "style")) "style"
+        else null
+      if (name != null) {
+        val nameEnd = p + 1 + name.length
+        // \b: next char must exist and be non-word ([^>]*> needs a '>' later
+        // anyway, so end-of-input fails either way)
+        if (nameEnd < n && !isWordChar(s.charAt(nameEnd))) {
+          val openEnd = s.indexOf('>', nameEnd)
+          if (openEnd >= 0) {
+            // non-greedy close: EARLIEST "</name" (ascii-ci) with a '>' after
+            var q = openEnd + 1
+            while (end < 0 && q >= 0) {
+              q = s.indexOf('<', q)
+              if (q >= 0) {
+                if (q + 1 < n && s.charAt(q + 1) == '/' &&
+                    asciiCi(s, q + 2, name)) {
+                  val gt = s.indexOf('>', q + 2 + name.length)
+                  if (gt >= 0) end = gt + 1
+                  else q = -1 // no '>' anywhere later: alt 1 fails outright
+                } else q += 1
+              }
+            }
+          }
+        }
+      }
+      // alt 2: <!--.*?-->
+      if (end < 0 && s.regionMatches(p, "<!--", 0, 4)) {
+        val close = s.indexOf("-->", p + 4)
+        if (close >= 0) end = close + 3
+      }
+      if (end >= 0) {
+        if (sb == null) sb = new java.lang.StringBuilder(n)
+        sb.append(s, last, p)
+        last = end
+        p = if (end < n) s.indexOf('<', end) else -1
+      } else p = s.indexOf('<', p + 1)
     }
-    sb.append(noNoise, last, noNoise.length)
+    if (sb == null) s else { sb.append(s, last, n); sb.toString }
+  }
+
+  /** Step 3 — one left-to-right pass: every "<...>" (interior '>'-free)
+    * becomes "\n" when the tag word is block-level, "" otherwise; a '<'
+    * with no later '>' stays verbatim. */
+  private def stripTags(s: String): String = {
+    val n = s.length
+    var p = s.indexOf('<')
+    if (p < 0) return s
+    val sb = new java.lang.StringBuilder(n)
+    var last = 0
+    while (p >= 0) {
+      val gt = s.indexOf('>', p + 1)
+      if (gt < 0) p = -1 // no closing '>' left: no further tags possible
+      else {
+        sb.append(s, last, p)
+        if (isBlockTag(s, p + 1, gt)) sb.append('\n')
+        last = gt + 1
+        p = s.indexOf('<', gt + 1)
+      }
+    }
+    sb.append(s, last, n)
     sb.toString
+  }
+
+  /** Block test over the tag interior s[start, gt): optional '/', then a
+    * maximal ASCII word run that must equal a block name (the regex \b makes
+    * the alternation equivalent to whole-word set membership). */
+  private def isBlockTag(s: String, start: Int, gt: Int): Boolean = {
+    var i = start
+    if (i < gt && s.charAt(i) == '/') i += 1
+    var j = i
+    while (j < gt && isWordChar(s.charAt(j))) j += 1
+    val len = j - i
+    if (len < 1 || len > 10) return false // longest name: "blockquote"
+    var b = 0
+    while (b < BlockNames.length) {
+      val bn = BlockNames(b)
+      if (bn.length == len && asciiCi(s, i, bn)) return true
+      b += 1
+    }
+    false
   }
 
   /** Step 4 — fixed-whitelist entity decode (single pass, no re-decode). */
