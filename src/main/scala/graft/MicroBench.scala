@@ -44,14 +44,14 @@ object MicroBench {
       }
       var sents: Array[Array[String]] = null
       time("sentence-split") {
-        sents = texts.map(_.split(TextModel.SentenceSplitRegex))
+        sents = texts.map(graft.text.Tokenize.splitSentences)
         sents.map(_.length.toLong).sum
       }
       var toks: Array[Array[IndexedSeq[String]]] = null
       time("tokenize") {
         toks = sents.map(_.map(s =>
-          s.toLowerCase(java.util.Locale.ROOT)
-            .split(TextModel.TokenSplitRegex).filter(_.nonEmpty).toIndexedSeq))
+          graft.text.Tokenize.tokensOf(s.toLowerCase(java.util.Locale.ROOT))
+            .toIndexedSeq))
         toks.map(_.map(_.length.toLong).sum).sum
       }
       time("scan+featurize+score") {

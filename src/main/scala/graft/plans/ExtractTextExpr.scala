@@ -59,9 +59,27 @@ object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => U
     StringMinAgg(args.head)
   }
 
+  private val splitSentencesInfo = new ExpressionInfo(
+    classOf[SplitSentencesExpr].getName, "split_sentences")
+
+  private val splitSentencesBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, "split_sentences(text) takes exactly one argument")
+    SplitSentencesExpr(args.head)
+  }
+
+  private val tokenizeLowerInfo = new ExpressionInfo(
+    classOf[TokenizeLowerExpr].getName, "tokenize_lower")
+
+  private val tokenizeLowerBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, "tokenize_lower(sent) takes exactly one argument")
+    TokenizeLowerExpr(args.head)
+  }
+
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("extract_text"), extractTextInfo, builder))
     ext.injectFunction((FunctionIdentifier("min_str"), minStrInfo, minStrBuilder))
+    ext.injectFunction((FunctionIdentifier("split_sentences"), splitSentencesInfo, splitSentencesBuilder))
+    ext.injectFunction((FunctionIdentifier("tokenize_lower"), tokenizeLowerInfo, tokenizeLowerBuilder))
   }
 
   /** Idempotent runtime registration into the session's function registry. */
@@ -70,6 +88,10 @@ object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => U
       "extract_text", builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "min_str", minStrBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "split_sentences", splitSentencesBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tokenize_lower", tokenizeLowerBuilder, "built-in")
   }
 
   /** Column-API handle (registers into the active session on first use). */
@@ -82,5 +104,17 @@ object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => U
   def minStr(c: Column): Column = {
     SparkSession.active.synchronized(register(SparkSession.active))
     call_function("min_str", c)
+  }
+
+  /** Column-API handle for the native sentence splitter. */
+  def splitSentences(text: Column): Column = {
+    SparkSession.active.synchronized(register(SparkSession.active))
+    call_function("split_sentences", text)
+  }
+
+  /** Column-API handle for the native lower+tokenize+filter composite. */
+  def tokenizeLower(sent: Column): Column = {
+    SparkSession.active.synchronized(register(SparkSession.active))
+    call_function("tokenize_lower", sent)
   }
 }
