@@ -34,12 +34,19 @@ object PipelineBench {
     // different jobs and flatters the small leg (fewer partitions = less
     // per-partition overhead).
     val partsOverride = flags.collectFirst { case f if f.matches("p\\d+") => f.drop(1).toInt }
+    // "stages": per-stage wall vs summed task time — shows where a leg's
+    // cores idle (ragged tails, serial phases) without the Spark UI
+    val logStages = flags.contains("stages")
     val fixDir = s"/root/repo/fixtures/sf$sf"
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-pipeline-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      // same job at both parallelism levels: when P is pinned (p<N> flag),
+      // the agg/merge exchanges use it too — shuffle.partitions must not
+      // follow the leg's thread count or the legs run different plans
+      .config("spark.sql.shuffle.partitions",
+        partsOverride.getOrElse(cpus).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // 32 MB input splits: the sf16 fixture is ~2.8 GB, which the 128 MB
@@ -51,6 +58,20 @@ object PipelineBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (logStages) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val wallMs = (for { s <- i.submissionTime; c <- i.completionTime }
+            yield c - s).getOrElse(-1L)
+          val taskMs = i.taskMetrics.executorRunTime
+          val gcMs = i.taskMetrics.jvmGCTime
+          val cpuMs = i.taskMetrics.executorCpuTime / 1000000
+          println(f"""{"stage":${i.stageId},"name":"${i.name.takeWhile(_ != ' ')}","tasks":${i.numTasks},"wall_ms":$wallMs,"task_ms":$taskMs,"cpu_ms":$cpuMs,"gc_ms":$gcMs,"par":${if (wallMs > 0) taskMs.toDouble / wallMs else -1}%.1f}""")
+        }
+      })
 
     Gen.generate(spark, fixDir, Gen.pageCount(sf)) // idempotent
     val model = KgModel.load(spark, fixDir)

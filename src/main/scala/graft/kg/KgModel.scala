@@ -31,6 +31,26 @@ final class KgModel(
       t1 -> grp.map { case (surface, e) => surface.drop(t1.length + 1) -> e }
     }
 
+  /** Bucket-major transpose of the weight matrix, built once per executor
+    * JVM: wFlat(fid * nPreds + p) == weights(p)(fid). The scoring loop walks
+    * every predicate's weight for one feature from ONE cache line pair
+    * instead of taking a miss per predicate array — at 32 executor threads
+    * the predicate-major layout thrashed L3 (9 × 2 MB arrays probed at
+    * random buckets). */
+  @transient private lazy val wFlat: Array[Double] = {
+    val nP = preds.length
+    val nF = if (nP == 0) 0 else weights(0).length
+    val flat = new Array[Double](nP * nF)
+    var p = 0
+    while (p < nP) {
+      val w = weights(p)
+      var f = 0
+      while (f < nF) { flat(f * nP + p) = w(f); f += 1 }
+      p += 1
+    }
+    flat
+  }
+
   /** Greedy longest-match dictionary scan over lowercase tokens (pinned
     * semantics, SURVEY.md §2 A6): at each position prefer the 2-gram match,
     * consume matched tokens, advance. The broadcast-join implementation in
@@ -83,16 +103,27 @@ final class KgModel(
             val fids =
               if (session != null) session.ids(m1, m2)
               else Featurize.ids(tokens, m1, m2)
+            // accumulate ALL predicates per feature from the bucket-major
+            // matrix (contiguous), then select among the type-eligible ones;
+            // per predicate the summation order over fids is unchanged, so
+            // scores are bit-identical to the predicate-major loop
+            val nP = preds.length
+            val flat = wFlat
+            val scores = new Array[Double](nP)
+            var k = 0
+            while (k < fids.length) {
+              val base = fids(k).toInt * nP
+              var q = 0
+              while (q < nP) { scores(q) += flat(base + q); q += 1 }
+              k += 1
+            }
             var bestIdx = -1
             var bestScore = Double.NegativeInfinity
             var p = 0
-            while (p < preds.length) {
+            while (p < nP) {
               val pd = preds(p)
               if (pd.subjType == m1.entType && pd.objType == m2.entType) {
-                val w = weights(p)
-                var s = 0.0
-                var k = 0
-                while (k < fids.length) { s += w(fids(k).toInt); k += 1 }
+                val s = scores(p)
                 if (s > bestScore) { bestScore = s; bestIdx = p }
               }
               p += 1

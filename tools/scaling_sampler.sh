@@ -46,13 +46,22 @@ while true; do
     continue
   fi
   pair=$((pair + 1))
-  # alternate pair shapes: odd pairs 8->32 (P=128 both legs), even pairs
-  # 4->16 (P=64 both legs). Both satisfy the N->4N rule; the 16-thread leg
-  # leaves bandwidth headroom, so it is robust to neighbor contention.
-  if [ $((pair % 2)) -eq 1 ]; then LEGS="32 8"; P="p128"; else LEGS="16 4"; P="p64"; fi
+  # alternate pair shapes: odd pairs 4->16, even pairs 8->32 (P=128 both
+  # legs - under the 200-reducer bypass-merge threshold, so the exchange
+  # uses the buffer-free bypass writer). Both satisfy the N->4N rule; the
+  # 16-thread leg leaves memory-bandwidth headroom (the measured limiter at
+  # 32 threads), so it leads.
+  if [ $((pair % 2)) -eq 1 ]; then LEGS="16 4"; P="p128"; else LEGS="32 8"; P="p128"; fi
   for CPUS in $LEGS; do
     echo "{\"sampler\":\"leg\",\"pair\":$pair,\"cpus\":$CPUS,\"ts\":$(date +%s)}" >> "$LOG"
-    java -Xmx32g $OPENS -Dspark.ui.enabled=false -cp "$CP" \
+    # ParallelGC + pinned heap/young-gen: measured on this box, G1's
+    # concurrent phases burn ~6 cores of pure overhead on the 32-thread leg
+    # (26.7 busy cores vs 21.6 for the same work), and an unpinned heap
+    # (default tiny -Xms) sends ParallelGC into young-gen resize thrash —
+    # 45% of task time in GC at sf64. Fixed 40g heap + 20g young gen takes
+    # the timed-run GC share to ~5%.
+    java -Xms40g -Xmx40g -Xmn20g -XX:+UseParallelGC $OPENS \
+      -Dspark.ui.enabled=false -cp "$CP" \
       graft.PipelineBench "$CPUS" "$SF" 2 "$P" 2>/dev/null | grep '"bench"' >> "$LOG"
   done
 done
