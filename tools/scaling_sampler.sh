@@ -46,12 +46,17 @@ while true; do
     continue
   fi
   pair=$((pair + 1))
-  # alternate pair shapes: odd pairs 4->16, even pairs 8->32 (P=128 both
-  # legs - under the 200-reducer bypass-merge threshold, so the exchange
-  # uses the buffer-free bypass writer). Both satisfy the N->4N rule; the
-  # 16-thread leg leaves memory-bandwidth headroom (the measured limiter at
-  # 32 threads), so it leads.
-  if [ $((pair % 2)) -eq 1 ]; then LEGS="16 4"; P="p128"; else LEGS="32 8"; P="p128"; fi
+  # rotate pair shapes — each is the SAME job (same input, same P, both legs)
+  # at N vs 4N threads; P stays under the 200-reducer bypass-merge threshold
+  # so the exchange uses the buffer-free bypass writer. The three shapes
+  # together plot efficiency vs absolute parallelism: the wide shapes share
+  # ONE memory system across 32 threads (the measured limiter — a real 4x
+  # cluster brings 4x DRAM/L3 with it), the 2->8 shape has full headroom.
+  case $(( (pair - 1) % 3 )) in
+    0) LEGS="16 4"; P="p128"; SFX="64.0" ;;
+    1) LEGS="8 2";  P="p64";  SFX="16.0" ;;
+    2) LEGS="32 8"; P="p128"; SFX="64.0" ;;
+  esac
   for CPUS in $LEGS; do
     echo "{\"sampler\":\"leg\",\"pair\":$pair,\"cpus\":$CPUS,\"ts\":$(date +%s)}" >> "$LOG"
     # ParallelGC + pinned heap/young-gen: measured on this box, G1's
@@ -62,6 +67,6 @@ while true; do
     # the timed-run GC share to ~5%.
     java -Xms40g -Xmx40g -Xmn20g -XX:+UseParallelGC $OPENS \
       -Dspark.ui.enabled=false -cp "$CP" \
-      graft.PipelineBench "$CPUS" "$SF" 2 "$P" 2>/dev/null | grep '"bench"' >> "$LOG"
+      graft.PipelineBench "$CPUS" "$SFX" 2 "$P" 2>/dev/null | grep '"bench"' >> "$LOG"
   done
 done
