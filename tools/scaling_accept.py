@@ -14,15 +14,20 @@ import sys
 
 
 def main(path: str) -> int:
-    legs = []  # (pair, cpus, [runs])
+    legs = []  # ((epoch, pair), cpus, [runs])
     cur = None
+    epoch = 0
+    prev_pair = 0
     for line in open(path):
         try:
             j = json.loads(line)
         except json.JSONDecodeError:
             continue
         if j.get("sampler") == "leg":
-            cur = (j["pair"], j["cpus"], [])
+            if j["pair"] < prev_pair:  # sampler restart reuses pair numbers
+                epoch += 1
+            prev_pair = j["pair"]
+            cur = ((epoch, j["pair"]), j["cpus"], [])
             legs.append(cur)
         elif j.get("bench") == "pipeline" and cur is not None:
             cur[2].append(j)
@@ -47,7 +52,7 @@ def main(path: str) -> int:
         eff_best = (bs / bb) / 4
         clean = steal < 0.5
         ok = clean and eff_med >= 0.8
-        print(f"pair {pair:3d} [{small}->{big}]: t{big}_med={mb:7.1f}s "
+        print(f"pair {pair[0]}.{pair[1]:<3d} [{small}->{big}]: t{big}_med={mb:7.1f}s "
               f"t{small}_med={ms:7.1f}s eff_med={eff_med:.2f} eff_best={eff_best:.2f} "
               f"steal_max={steal:.1f} iow_max={iow:.1f} "
               f"{'ACCEPT' if ok else ('clean' if clean else 'contended')}")
@@ -55,7 +60,7 @@ def main(path: str) -> int:
             accepted.append((pair, small, big, mb, ms, eff_med))
     if accepted:
         best = max(accepted, key=lambda a: a[5])
-        print(f"\nACCEPTED {len(accepted)} pair(s); best: pair {best[0]} "
+        print(f"\nACCEPTED {len(accepted)} pair(s); best: pair {best[0][0]}.{best[0][1]} "
               f"[{best[1]}->{best[2]}] t_big={best[3]:.1f}s t_small={best[4]:.1f}s "
               f"eff={best[5]:.2f}")
         return 0
