@@ -39,8 +39,13 @@ object PipelineBench {
     val logStages = flags.contains("stages")
     val fixDir = s"/root/repo/fixtures/sf$sf"
 
+    // SPARK_GRAFT_MASTER overrides local[cpus] — used to run the same bench
+    // against a standalone multi-executor cluster via spark-submit (the
+    // north rule's own wording: N vs 4N EXECUTORS); `cpus` then only labels
+    // the output row with the cluster's total core count.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .appName(s"graft-pipeline-bench-$cpus")
       // same job at both parallelism levels: when P is pinned (p<N> flag),
       // the agg/merge exchanges use it too — shuffle.partitions must not
