@@ -52,10 +52,19 @@ while true; do
   # together plot efficiency vs absolute parallelism: the wide shapes share
   # ONE memory system across 32 threads (the measured limiter — a real 4x
   # cluster brings 4x DRAM/L3 with it), the 2->8 shape has full headroom.
+  # warmup + ONE timed run per leg: the host speed oscillates on a
+  # ~10-20 min period with ~2x amplitude, so a pair is only meaningful when
+  # both legs land in the same window - shorter pairs align more often, and
+  # the accept script sees many of them.
+  # all shapes at sf64: a short-wall leg carries a larger fixed-overhead
+  # fraction, which systematically understates eff - 32M pages keeps every
+  # leg's wall long enough that c/w is noise. 2->8 leads: it has the most
+  # memory-bandwidth headroom, so it is the shape whose wall-clock ratio
+  # best reflects the code rather than the box.
   case $(( (pair - 1) % 3 )) in
-    0) LEGS="16 4"; P="p128"; SFX="64.0" ;;
-    1) LEGS="8 2";  P="p64";  SFX="16.0" ;;
-    2) LEGS="32 8"; P="p128"; SFX="64.0" ;;
+    0) LEGS="8 2";  P="p64";  SFX="64.0"; RUNS=1 ;;
+    1) LEGS="16 4"; P="p128"; SFX="64.0"; RUNS=1 ;;
+    2) LEGS="32 8"; P="p128"; SFX="64.0"; RUNS=1 ;;
   esac
   for CPUS in $LEGS; do
     echo "{\"sampler\":\"leg\",\"pair\":$pair,\"cpus\":$CPUS,\"ts\":$(date +%s)}" >> "$LOG"
@@ -67,6 +76,6 @@ while true; do
     # the timed-run GC share to ~5%.
     java -Xms40g -Xmx40g -Xmn20g -XX:+UseParallelGC $OPENS \
       -Dspark.ui.enabled=false -cp "$CP" \
-      graft.PipelineBench "$CPUS" "$SFX" 2 "$P" 2>/dev/null | grep '"bench"' >> "$LOG"
+      graft.PipelineBench "$CPUS" "$SFX" "$RUNS" "$P" 2>/dev/null | grep '"bench"' >> "$LOG"
   done
 done
