@@ -50,11 +50,17 @@ def main(path: str) -> int:
         iow = max(r["iowait_cores"] for r in p[big] + p[small])
         eff_med = (ms / mb) / 4
         eff_best = (bs / bb) / 4
+        # work-conservation efficiency: total busy core-seconds consumed for
+        # the same job, small leg / big leg (1.0 = the 4N level does no extra
+        # work; < 1 = per-core inflation on the wide leg)
+        wm_b = min(r["busy_cores"] * r["sec"] for r in p[big])
+        wm_s = min(r["busy_cores"] * r["sec"] for r in p[small])
+        cpu_eff = wm_s / wm_b if wm_b > 0 else float("nan")
         clean = steal < 0.5
         ok = clean and eff_med >= 0.8
         print(f"pair {pair[0]}.{pair[1]:<3d} [{small}->{big}]: t{big}_med={mb:7.1f}s "
               f"t{small}_med={ms:7.1f}s eff_med={eff_med:.2f} eff_best={eff_best:.2f} "
-              f"steal_max={steal:.1f} iow_max={iow:.1f} "
+              f"cpu_eff={cpu_eff:.2f} steal_max={steal:.1f} iow_max={iow:.1f} "
               f"{'ACCEPT' if ok else ('clean' if clean else 'contended')}")
         if ok:
             accepted.append((pair, small, big, mb, ms, eff_med))
