@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   * HashMode.PortableMd5 here so DuckDB replays them bit-exactly (xxhash64
   * stays the scale default — same plan shape, audited once). The remaining
   * no-oracle queries are approximate or not SQL-expressible BY DESIGN:
-  * q_agg_approx (HLL sketch; exact twin in-query), q_embed_ivf_topk (ANN
-  * with iterative k-means centroids; recall vs brute force spec-tested),
-  * q_pipeline_triples + q_train_labels (the KG pipeline / its training
-  * labeling — gated by P/R and TrainSpec instead). Each is covered by a
-  * ScalaTest spec (HarnessSpec/OpsSpec/TrainSpec).
+  * q_agg_approx (HLL sketch; exact twin in-query), q_pipeline_triples +
+  * q_train_labels (the KG pipeline / its training labeling — gated by P/R
+  * and TrainSpec instead). Each is covered by a ScalaTest spec
+  * (HarnessSpec/OpsSpec/TrainSpec). q_embed_ivf_topk runs harness mode
+  * (portable seeding, iterations=0) and is oracle-exact; the iterative
+  * Lloyd path keeps its recall spec.
   */
 object SparkEntry {
 
@@ -290,9 +291,15 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
     }),
 
+    // harness mode: portable-md5 seeding + iterations=0 (the seed vectors ARE
+    // the centroids), which makes the whole assign/probe/rank pipeline
+    // SQL-expressible — the oracle replays it bit-exactly (ivfTopKOracleSql).
+    // xxhash64 seeding + Lloyd iterations stay the scale default (the
+    // iterative path's recall is OpsSpec-tested; same pipeline shape).
     "q_embed_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 16, iterations = 1)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 16,
+        iterations = 0, mode = HashMode.PortableMd5)
       Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
         cents, nprobe = 4, k = 10)
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
@@ -503,11 +510,14 @@ object SparkEntry {
         " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b " +
         "ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"),
     "q_dedup_simhash" -> Dedup.simhashOracleSql,
+    // cosine replayed with the engine's exact fold (cosineSql), not DuckDB's
+    // native list_cosine_similarity — a pair within an ulp of the 0.35
+    // threshold can then never split the engines (ADVICE r3)
     "q_dedup_embed" ->
       (s"WITH b AS (${Similarity.lshBucketOracleSql(dims = 64, planes = 4)}) " +
         "SELECT a.vec_id AS doc_a, c.vec_id AS doc_b FROM b a JOIN b c " +
         "ON a.bucket = c.bucket AND a.vec_id < c.vec_id " +
-        "WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= 0.35"),
+        s"WHERE ${Similarity.cosineSql("a.embedding", "c.embedding", 64)} >= 0.35"),
     "q_join_nl" ->
       ("SELECT r_name, count(*) AS n FROM nation JOIN region ON n_regionkey < r_regionkey " +
         "GROUP BY r_name"),
@@ -520,9 +530,11 @@ object SparkEntry {
       (s"WITH b AS (${Similarity.lshBucketOracleSql(dims = 64, planes = 4)}) " +
         "SELECT query_id, neighbor_id, rnk FROM (SELECT q.vec_id AS query_id, " +
         "c.vec_id AS neighbor_id, cast(row_number() OVER (PARTITION BY q.vec_id " +
-        "ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, " +
+        s"ORDER BY ${Similarity.cosineSql("q.embedding", "c.embedding", 64)} DESC, " +
         "c.vec_id) as bigint) AS rnk FROM b q JOIN b c ON q.bucket = c.bucket " +
         "AND c.vec_id <> q.vec_id WHERE q.vec_id < 8) WHERE rnk <= 10"),
+    "q_embed_ivf_topk" -> Similarity.ivfTopKOracleSql(k = 16, nprobe = 4,
+      topK = 10, dims = 64, queryFilterSql = "WHERE vec_id < 8"),
     "q_lang_id" -> TextStats.langIdOracleSql,
     "q_media_features" ->
       ("SELECT doc_id AS media_id, cast(octet_length(encode(text)) as bigint) AS n_bytes, " +
@@ -530,7 +542,7 @@ object SparkEntry {
     "q_embed_topk" ->
       ("SELECT query_id, neighbor_id, rnk FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
         "cast(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
-        "list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, c.vec_id) as bigint) AS rnk " +
+        s"${Similarity.cosineSql("q.embedding", "c.embedding", 64)} DESC, c.vec_id) as bigint) AS rnk " +
         "FROM embeddings q, embeddings c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) WHERE rnk <= 10"),
     "q_text_quality" ->
       ("SELECT doc_id, cast(length(text) as bigint) AS n_chars, " +

@@ -214,7 +214,13 @@ object Dedup {
     * means something is structurally wrong and silently-partial labels must
     * never be returned (they would surface as inexplicable downstream
     * mismatches). */
-  def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    componentsWithRounds(pairs, maxIter)._1
+
+  /** [[components]] plus the number of pointer-doubling rounds it took —
+    * exposed so tests can assert the O(log diameter) convergence claim on a
+    * deterministic chain graph (rounds ~ k for a path of 2^k nodes). */
+  def componentsWithRounds(pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
@@ -225,7 +231,7 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIter) {
       // 1) neighbor-min propagation (the changed flag rides along, so
-      //    convergence detection is a filter over the checkpointed result)
+      //    convergence detection rides the materializing aggregate below)
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
       val step = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
@@ -237,13 +243,20 @@ object Dedup {
       //    checkpointed, so the round materializes exactly once (labels only
       //    ever decrease, so the jump can only lower comp; least() guards)
       val parent = labels.select(col("doc_id").as("p_id"), col("comp").as("p_comp"))
+      // Non-eager checkpoint: the convergence-count aggregate below is the
+      // action that computes (and thereby checkpoints) the round, so each
+      // round costs exactly ONE job instead of an eager-checkpoint job plus a
+      // separate isEmpty probe — that probe job was half the fixed per-round
+      // overhead that dominates at harness scale (~100-node toy graphs).
       val next = step.as("s").join(parent.as("p"), col("s.comp") === col("p.p_id"), "left")
         .select(col("s.doc_id").as("doc_id"),
           least(col("s.comp"), coalesce(col("p.p_comp"), col("s.comp"))).as("comp"),
           (col("s.changed") ||
             coalesce(col("p.p_comp"), col("s.comp")) < col("s.comp")).as("changed"))
-        .localCheckpoint()
-      converged = next.filter(col("changed")).isEmpty
+        .localCheckpoint(eager = false)
+      val nChanged = next.agg(count(when(col("changed"), 1)).as("c"))
+        .first().getLong(0)
+      converged = nChanged == 0L
       labels = next.select(col("doc_id"), col("comp"))
       i += 1
     }
@@ -254,7 +267,7 @@ object Dedup {
       throw new IllegalStateException(
         s"components: no convergence after $maxIter pointer-doubling rounds " +
           "(covers diameter 2^" + maxIter + ") — refusing to return partial labels")
-    labels
+    (labels, i)
   }
 
   // ---- DuckDB oracle generators (exact replays of the PortableMd5 mode;

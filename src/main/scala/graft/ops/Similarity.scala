@@ -112,17 +112,43 @@ object Similarity {
     s"SELECT vec_id, embedding, ($terms) AS bucket FROM embeddings"
   }
 
+  /** DuckDB SQL replaying [[cosine]] with the engine's exact arithmetic:
+    * dot/(norm(a)*norm(b)), each factor a dimension-order left fold (DuckDB's
+    * init-less list_reduce equals Spark's aggregate-from-0.0 fold because
+    * 0.0 + x == x bit-exactly). Oracles use THIS instead of DuckDB's native
+    * list_cosine_similarity so a cosine landing within an ulp of a threshold
+    * or rank tie can never split the engines (ADVICE r3). */
+  def cosineSql(a: String, b: String, dims: Int): String =
+    s"(${dotSql(a, b, dims)} / (${normSql(a, dims)} * ${normSql(b, dims)}))"
+
+  /** DuckDB replay of [[dot]] (dimension-order left fold, double math). */
+  def dotSql(a: String, b: String, dims: Int): String =
+    s"list_reduce(list_transform(range(1, ${dims + 1}), " +
+      s"d -> $a[d]::DOUBLE * $b[d]::DOUBLE), (s, x) -> s + x)"
+
+  /** DuckDB replay of [[norm]]. */
+  def normSql(v: String, dims: Int): String = s"sqrt(${dotSql(v, v, dims)})"
+
   /** IVF-flat centroids: deterministic seeding (the k vectors with smallest
-    * xxhash64(id)) + `iterations` Lloyd steps computed relationally
+    * hash(id); id tie-break) + `iterations` Lloyd steps computed relationally
     * (posexplode → per-(cell,dim) mean → re-collect). Returns dense centroid
     * vectors. k is small (≤ a few hundred): centroids broadcast as plain
-    * arrays. */
+    * arrays. mode=PortableMd5 seeds by md5h60(id) so an external SQL engine
+    * can derive the identical seed set — with iterations=0 (seed vectors ARE
+    * the centroids) the whole assign/probe/rank pipeline is then replayable
+    * bit-exactly in DuckDB ([[ivfTopKOracleSql]]); XxHash + Lloyd stays the
+    * scale default. */
   def ivfCentroids(data: DataFrame, idCol: String, vecCol: String, k: Int,
-                   iterations: Int = 2): Array[Array[Double]] = {
+                   iterations: Int = 2,
+                   mode: HashMode = HashMode.XxHash): Array[Array[Double]] = {
     val spark = data.sparkSession
+    val seedHash = mode match {
+      case HashMode.XxHash => xxhash64(col(idCol))
+      case HashMode.PortableMd5 => Portable.md5h60(col(idCol).cast("string"))
+    }
     val seeded = data
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"), xxhash64(col(idCol)).as("h"))
-      .orderBy(col("h")).limit(k)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"), seedHash.as("h"))
+      .orderBy(col("h"), col("id")).limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     var centroids = seeded
     for (_ <- 1 to iterations) {
@@ -188,6 +214,37 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos"))
+  }
+
+  /** DuckDB replay of the FULL harness-mode IVF pipeline —
+    * ivfCentroids(mode=PortableMd5, iterations=0) seeding, nearest-centroid
+    * assignment, nprobe probing, in-cell cosine ranking — over the
+    * `embeddings` table. Exactness argument: seeds are the k rows with
+    * smallest md5h60(vec_id) (id tie-break, both engines); every cosine is
+    * the [[cosineSql]] fold replay (the assign/probe UDFs accumulate
+    * dot/normA/normB in one dimension-order loop — the same fold sequence);
+    * all argmax/rank tie-breaks are (score DESC, index ASC) in both engines.
+    * queryFilterSql e.g. "WHERE vec_id < 8". */
+  def ivfTopKOracleSql(k: Int, nprobe: Int, topK: Int, dims: Int,
+                       queryFilterSql: String): String = {
+    def cos(a: String, b: String) = cosineSql(a, b, dims)
+    s"WITH seeds AS (SELECT cv, cell FROM (SELECT embedding AS cv, " +
+      s"row_number() OVER (ORDER BY ${Portable.md5h60Sql("vec_id::VARCHAR")}, vec_id) - 1 " +
+      s"AS cell FROM embeddings) WHERE cell < $k), " +
+      s"assigned AS (SELECT vec_id, embedding, cell FROM (SELECT e.vec_id, e.embedding, " +
+      s"s.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+      s"${cos("e.embedding", "s.cv")} DESC, s.cell) AS rn FROM embeddings e " +
+      s"CROSS JOIN seeds s) WHERE rn = 1), " +
+      s"probes AS (SELECT query_id, qv, cell FROM (SELECT q.vec_id AS query_id, " +
+      s"q.embedding AS qv, s.cell, row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      s"${cos("q.embedding", "s.cv")} DESC, s.cell) AS rn FROM " +
+      s"(SELECT * FROM embeddings $queryFilterSql) q CROSS JOIN seeds s) WHERE rn <= $nprobe), " +
+      s"scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+      s"${cos("p.qv", "a.embedding")} AS cos FROM probes p JOIN assigned a " +
+      s"ON p.cell = a.cell WHERE p.query_id <> a.vec_id) " +
+      s"SELECT query_id, neighbor_id, rnk FROM (SELECT query_id, neighbor_id, " +
+      s"cast(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) " +
+      s"as bigint) AS rnk FROM scored) WHERE rnk <= $topK"
   }
 
   /** Bucketed ANN: join queries to candidates sharing an LSH bucket, then

@@ -55,15 +55,21 @@ object StreamOps {
   /** Custom keyed state: per-user sessions closed after `gapMs` of EVENT-TIME
     * silence — the streaming twin of q_sessionize_batch's lag()-gap rule.
     * A session normally closes when the watermark passes (last event + gap);
-    * gaps VISIBLE inside one batch close immediately: incoming timestamps are
-    * folded in sorted order against the open session, and every internal gap
-    * > gapMs emits a closed session right away (replay/backfill batches and a
-    * lagging watermark therefore produce the same sessions the batch rule
-    * would — microbatch boundaries never merge two gap-separated sessions).
-    * The event-time timeout keeps the result a deterministic function of the
-    * data (a processing-time timeout would not be), and the watermark bounds
-    * state for idle users at scale. Emits one SessionUpdate per closed
-    * session. `events` needs (user_id, ts) columns. */
+    * gaps VISIBLE inside one batch close immediately: the open session and
+    * the incoming timestamps are folded as interval "atoms" in sorted order,
+    * and every gap > gapMs between atoms emits a closed session right away —
+    * so microbatch boundaries never merge two gap-separated sessions, and an
+    * out-of-order (but within-watermark) event older than the open session's
+    * start by more than the gap forms its own earlier session instead of
+    * being merged forward. Replay/backfill batches therefore reproduce the
+    * batch rule's sessions exactly, with ONE inherent append-mode caveat: an
+    * event that arrives (within a nonzero-lateness watermark) AFTER the
+    * session it belongs to was already emitted starts a new session rather
+    * than reopening the emitted one — retraction does not exist in append
+    * mode. The event-time timeout keeps the result a deterministic function
+    * of the data (a processing-time timeout would not be), and the watermark
+    * bounds state for idle users at scale. Emits one SessionUpdate per
+    * closed session. `events` needs (user_id, ts) columns. */
   def sessionize(events: DataFrame, gapMs: Long,
                  lateness: String = "0 seconds"): Dataset[SessionUpdate] = {
     implicit val outEnc = Encoders.product[SessionUpdate]
@@ -82,21 +88,26 @@ object StreamOps {
             state.remove()
             Iterator.single(SessionUpdate(userId, s.n, new Timestamp(s.startMs), new Timestamp(s.endMs)))
           } else {
-            // rows at/after the watermark only (Spark drops late input here);
-            // fold them in ts order: extend the open session while within the
-            // gap, otherwise close it and start a new one
-            val ts = rows.map(_._2.getTime).toArray.sorted
+            // rows at/after the watermark only (Spark drops late input here).
+            // Fold the open session AND the incoming events as interval
+            // atoms in start order — the lag-gap rule generalized to
+            // intervals. This also places a stray event more than gapMs
+            // BEFORE the open session's start into its own earlier session
+            // (merging it forward would diverge from the batch rule).
+            val atoms = rows.map { case (_, t) =>
+              SessionState(1L, t.getTime, t.getTime)
+            }.toArray ++ state.getOption
             val closed = Seq.newBuilder[SessionUpdate]
-            var cur: SessionState = state.getOption.orNull
-            ts.foreach { t =>
+            var cur: SessionState = null
+            atoms.sortBy(a => (a.startMs, a.endMs)).foreach { a =>
               cur match {
-                case null => cur = SessionState(1L, t, t)
-                case s if t > s.endMs + gapMs =>
+                case null => cur = a
+                case s if a.startMs > s.endMs + gapMs =>
                   closed += SessionUpdate(userId, s.n,
                     new Timestamp(s.startMs), new Timestamp(s.endMs))
-                  cur = SessionState(1L, t, t)
+                  cur = a
                 case s =>
-                  cur = SessionState(s.n + 1, math.min(s.startMs, t), math.max(s.endMs, t))
+                  cur = SessionState(s.n + a.n, s.startMs, math.max(s.endMs, a.endMs))
               }
             }
             if (cur != null) {

@@ -104,6 +104,22 @@ class OpsSpec extends AnyFunSuite with SharedSpark {
     assertThrows[IllegalStateException] { Dedup.components(path, maxIter = 1) }
   }
 
+  test("components: pointer doubling is O(log diameter) on a 2^k chain") {
+    // a path of 2^k+1 nodes has diameter 2^k: plain min-propagation needs
+    // 2^k rounds; pointer doubling must land in ~k (+small constant) rounds.
+    // k=7 (129 nodes, diameter 128) makes the gap unambiguous: <= 10 vs 128.
+    val k = 7
+    val n = 1 << k
+    val path = (1L to n.toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.componentsWithRounds(path, maxIter = 25)
+    val comp = labels.as[(Long, Long)].collect().toMap
+    assert(comp.size == n + 1 && comp.values.toSet == Set(1L),
+      s"chain must collapse to component 1 (${comp.values.toSet})")
+    assert(rounds <= k + 3,
+      s"doubling depth: expected <= ${k + 3} rounds for diameter $n, got $rounds")
+    assert(rounds >= 3, s"fixture must exercise doubling depth (rounds=$rounds)")
+  }
+
   test("lshBucket literal plane weights equal the runtime hash expressions") {
     val grid = (for { d <- 0 until 8; p <- 0 until 4 } yield (d, p)).toDF("d", "p")
     val viaXx = grid.select(col("d"), col("p"),

@@ -116,6 +116,14 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     val p1 = Stages.partialTriples(rels).count()
     val p2 = twoPhase.count()
     assert(p1 > p2, s"salting must spread hot keys (phase1=$p1, phase2=$p2)")
+    // and the HOTTEST key itself is split across >1 phase-1 group — p1 > p2
+    // alone could come from cold keys; this pins the actual skew defeat on
+    // the fixture's Zipfian-hot subjects (SURVEY.md §7.4 risk 3)
+    val hotSpread = Stages.partialTriples(rels)
+      .groupBy("subj", "pred", "obj").agg(count(lit(1)).as("salt_groups"))
+      .agg(max($"salt_groups")).first().getLong(0)
+    assert(hotSpread > 1,
+      s"hottest triple key must spread over >1 phase-1 group (got $hotSpread)")
     rels.unpersist()
   }
 

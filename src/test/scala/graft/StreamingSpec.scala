@@ -177,4 +177,40 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
         s"trailing open session must close via watermark timeout: ${emitted()}")
     } finally q.stop()
   }
+
+  test("sessionize: within-watermark stray BEFORE the open session splits too") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(s: String): Timestamp = Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, Timestamp)]
+    val events = in.toDF().toDF("user_id", "ts")
+
+    // nonzero lateness so an out-of-order arrival in a LATER microbatch can
+    // still be above the watermark; the batch lag-gap rule would give it its
+    // own earlier session — merging it forward into the open session (the
+    // pre-round-4 behavior) diverged from that rule (ADVICE r3)
+    val q = StreamOps.sessionize(events, gapMs = 30L * 60 * 1000,
+        lateness = "3 hours").writeStream
+      .format("memory").queryName("sessions_stray").outputMode("append").start()
+    try {
+      def emitted() = spark.table("sessions_stray")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getTimestamp(2), r.getTimestamp(3))).toSet
+
+      in.addData((9L, at("2024-01-01 12:00:00"))) // open session [12:00]
+      q.processAllAvailable()
+      // 10:00 is >= the 09:00 watermark but more than the gap before the open
+      // session's start: its own session, closed immediately (the open atom
+      // right after it in the fold is > gap away)
+      in.addData((9L, at("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      assert(emitted() == Set((9L, 1L, at("2024-01-01 10:00:00"), at("2024-01-01 10:00:00"))),
+        s"stray must form its own earlier session, not merge forward: ${emitted()}")
+      // the open session survived untouched and closes on the watermark
+      in.addData((10L, at("2024-01-01 16:00:00"))) // watermark 13:00 > 12:30
+      q.processAllAvailable()
+      assert(emitted().contains((9L, 1L, at("2024-01-01 12:00:00"), at("2024-01-01 12:00:00"))),
+        s"open session must close unchanged: ${emitted()}")
+    } finally q.stop()
+  }
 }

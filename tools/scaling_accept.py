@@ -4,13 +4,20 @@ pairs, compute per-pair scaling efficiency, and flag ACCEPTED pairs —
 clean-window pairs per the protocol in BENCH/BASELINE.md:
 
   accept iff  steal_cores ~ 0 in every run of both legs (< 0.5 cores)
-          and the 8-thread leg is in its stable band (busy sanity)
-          and eff = (t8 / t32) / 4 >= 0.8
+          and BOTH legs are in their stable band (busy sanity): each run's
+              busy-core-seconds <= BAND x the minimum observed for that
+              thread count anywhere in the log — guest-invisible host
+              contention inflates cycles for the same work, so an
+              inflated-work leg means the window was slow even when steal
+              and iowait read zero
+          and eff = (t_small / t_big) / 4 >= 0.8
 
 usage: scaling_accept.py [logFile]
 """
 import json
 import sys
+
+BAND = 1.30  # a leg is "stable" if its work is within 30% of the clean floor
 
 
 def main(path: str) -> int:
@@ -31,6 +38,14 @@ def main(path: str) -> int:
             legs.append(cur)
         elif j.get("bench") == "pipeline" and cur is not None:
             cur[2].append(j)
+    # clean-floor busy-core-seconds per thread count, over the WHOLE log:
+    # the minimum is by construction from the cleanest window sampled
+    floor = {}
+    for _, cpus, runs in legs:
+        for r in runs:
+            w = r["busy_cores"] * r["sec"]
+            if w > 0:
+                floor[cpus] = min(floor.get(cpus, float("inf")), w)
     pairs = {}
     for pair, cpus, runs in legs:
         if runs:
@@ -48,6 +63,9 @@ def main(path: str) -> int:
         bs = sorted(r["sec"] for r in p[small])[0]
         steal = max(r["steal_cores"] for r in p[big] + p[small])
         iow = max(r["iowait_cores"] for r in p[big] + p[small])
+        # stable band: worst run work relative to that thread count's floor
+        band = max((r["busy_cores"] * r["sec"]) / floor[c]
+                   for c in (small, big) for r in p[c])
         eff_med = (ms / mb) / 4
         eff_best = (bs / bb) / 4
         # work-conservation efficiency: total busy core-seconds consumed for
@@ -56,11 +74,12 @@ def main(path: str) -> int:
         wm_b = min(r["busy_cores"] * r["sec"] for r in p[big])
         wm_s = min(r["busy_cores"] * r["sec"] for r in p[small])
         cpu_eff = wm_s / wm_b if wm_b > 0 else float("nan")
-        clean = steal < 0.5
+        clean = steal < 0.5 and band <= BAND
         ok = clean and eff_med >= 0.8
         print(f"pair {pair[0]}.{pair[1]:<3d} [{small}->{big}]: t{big}_med={mb:7.1f}s "
               f"t{small}_med={ms:7.1f}s eff_med={eff_med:.2f} eff_best={eff_best:.2f} "
               f"cpu_eff={cpu_eff:.2f} steal_max={steal:.1f} iow_max={iow:.1f} "
+              f"band={band:.2f} "
               f"{'ACCEPT' if ok else ('clean' if clean else 'contended')}")
         if ok:
             accepted.append((pair, small, big, mb, ms, eff_med))
