@@ -37,6 +37,13 @@ object PipelineBench {
     // "stages": per-stage wall vs summed task time — shows where a leg's
     // cores idle (ragged tails, serial phases) without the Spark UI
     val logStages = flags.contains("stages")
+    // "warmsmall": run the untimed warmup on the sf8 fixture instead of the
+    // full input — JIT/codegen/parquet-footer warmup needs invocations, not
+    // volume (4M pages is plenty), and the full-size warmup was more than
+    // half of every small-leg sampling cost (sampler economics: a 2-core
+    // sf64 leg drops from ~34 to ~19 min, so the interleaved pair is far
+    // more likely to land inside one host-speed window)
+    val warmSmall = flags.contains("warmsmall")
     val fixDir = s"/root/repo/fixtures/sf$sf"
 
     // SPARK_GRAFT_MASTER overrides local[cpus] — used to run the same bench
@@ -95,11 +102,12 @@ object PipelineBench {
       // user+nice+system = busy; field 5 = iowait; field 8 = steal
       (f(0) + f(1) + f(2), f(4), if (f.length > 7) f(7) else 0L)
     }
-    def oneRun(r: Int, timed: Boolean): Double = {
+    def oneRun(r: Int, timed: Boolean,
+               input: org.apache.spark.sql.DataFrame = webpages): Double = {
       val out = java.nio.file.Files.createTempDirectory(s"bench-$cpus-$r").toString
       val (busy0, iow0, steal0) = cpuTicks()
       val t0 = System.nanoTime()
-      val rels = Stages.extractRelations(webpages, model, Seq("en"), parts,
+      val rels = Stages.extractRelations(input, model, Seq("en"), parts,
         repartitionInput, mentionMode = mentionMode)
       val triples = Stages.mergeTriples(Stages.partialTriples(rels))
       triples.write.mode("overwrite").parquet(s"$out/triples")
@@ -115,7 +123,12 @@ object PipelineBench {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
       sec
     }
-    oneRun(0, timed = false) // warmup: JIT + codegen compile excluded
+    val warmInput = if (warmSmall && sf > 8.0) {
+      val smallDir = "/root/repo/fixtures/sf8.0"
+      Gen.generate(spark, smallDir, Gen.pageCount(8.0)) // idempotent
+      spark.read.parquet(s"$smallDir/webpages.parquet")
+    } else webpages
+    oneRun(0, timed = false, warmInput) // warmup: JIT + codegen compile excluded
     val secs = (1 to runs).map(oneRun(_, timed = true))
     val med = secs.sorted.apply((secs.length - 1) / 2)
     println(f"""{"bench":"pipeline-median","cpus":$cpus,"sf":$sf,"pages":$nPages,"triples":$triplesOut,"median_sec":$med%.3f,"triples_per_sec":${triplesOut / med}%.1f}""")

@@ -61,10 +61,15 @@ while true; do
   # leg's wall long enough that c/w is noise. 2->8 leads: it has the most
   # memory-bandwidth headroom, so it is the shape whose wall-clock ratio
   # best reflects the code rather than the box.
-  case $(( (pair - 1) % 3 )) in
+  # round 4: rotate only the two shapes with memory-bandwidth headroom
+  # (2->8 and 4->16 — the 8->32 shape shares one socket's DRAM/L3 across all
+  # 32 threads, the measured physical ceiling, and never cleared 0.6), and
+  # warm each JVM on the sf8 fixture (warmsmall): JIT needs invocations, not
+  # volume, and a full-size warmup doubled every leg's wall — shorter pairs
+  # land inside one host-speed window far more often.
+  case $(( (pair - 1) % 2 )) in
     0) LEGS="8 2";  P="p64";  SFX="64.0"; RUNS=1 ;;
     1) LEGS="16 4"; P="p128"; SFX="64.0"; RUNS=1 ;;
-    2) LEGS="32 8"; P="p128"; SFX="64.0"; RUNS=1 ;;
   esac
   for CPUS in $LEGS; do
     echo "{\"sampler\":\"leg\",\"pair\":$pair,\"cpus\":$CPUS,\"ts\":$(date +%s)}" >> "$LOG"
@@ -76,6 +81,6 @@ while true; do
     # the timed-run GC share to ~5%.
     java -Xms40g -Xmx40g -Xmn20g -XX:+UseParallelGC $OPENS \
       -Dspark.ui.enabled=false -cp "$CP" \
-      graft.PipelineBench "$CPUS" "$SFX" "$RUNS" "$P" 2>/dev/null | grep '"bench"' >> "$LOG"
+      graft.PipelineBench "$CPUS" "$SFX" "$RUNS" "$P" warmsmall 2>/dev/null | grep '"bench"' >> "$LOG"
   done
 done
