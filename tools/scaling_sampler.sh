@@ -61,15 +61,17 @@ while true; do
   # leg's wall long enough that c/w is noise. 2->8 leads: it has the most
   # memory-bandwidth headroom, so it is the shape whose wall-clock ratio
   # best reflects the code rather than the box.
-  # round 4: rotate only the two shapes with memory-bandwidth headroom
-  # (2->8 and 4->16 — the 8->32 shape shares one socket's DRAM/L3 across all
-  # 32 threads, the measured physical ceiling, and never cleared 0.6), and
-  # warm each JVM on the sf8 fixture (warmsmall): JIT needs invocations, not
-  # volume, and a full-size warmup doubled every leg's wall — shorter pairs
-  # land inside one host-speed window far more often.
+  # round 4: rotate only the shapes with memory-bandwidth headroom (the
+  # 8->32 shape shares one socket's DRAM/L3 across all 32 threads — the
+  # measured physical ceiling, never cleared 0.6), and warm each JVM on the
+  # sf8 fixture (warmsmall): JIT needs invocations, not volume, and a
+  # full-size warmup doubled every leg's wall. P=192 on both legs (same
+  # plan): the first truly-quiet-box pair showed the 8-thread leg idling 15%
+  # of its cores on 64-partition wave tails — 192 parts (still under the
+  # 200-reducer bypass-writer threshold) smooths the tail at every level.
   case $(( (pair - 1) % 2 )) in
-    0) LEGS="8 2";  P="p64";  SFX="64.0"; RUNS=1 ;;
-    1) LEGS="16 4"; P="p128"; SFX="64.0"; RUNS=1 ;;
+    0) LEGS="8 2"; P="p192"; SFX="64.0"; RUNS=1 ;;
+    1) LEGS="4 1"; P="p192"; SFX="64.0"; RUNS=1 ;;
   esac
   for CPUS in $LEGS; do
     echo "{\"sampler\":\"leg\",\"pair\":$pair,\"cpus\":$CPUS,\"ts\":$(date +%s)}" >> "$LOG"
@@ -78,8 +80,12 @@ while true; do
     # (26.7 busy cores vs 21.6 for the same work), and an unpinned heap
     # (default tiny -Xms) sends ParallelGC into young-gen resize thrash —
     # 45% of task time in GC at sf64. Fixed 40g heap + 20g young gen takes
-    # the timed-run GC share to ~5%.
-    java -Xms40g -Xmx40g -Xmn20g -XX:+UseParallelGC $OPENS \
+    # the timed-run GC share to ~5%. ParallelGCThreads is pinned to the
+    # leg's core count: the default (~23 on this box) let the SMALL leg
+    # parallelize its GC pauses over idle cores a real N-core executor
+    # would not have — a substitution unfairness that understated every
+    # measured efficiency.
+    java -Xms40g -Xmx40g -Xmn20g -XX:+UseParallelGC -XX:ParallelGCThreads=$CPUS $OPENS \
       -Dspark.ui.enabled=false -cp "$CP" \
       graft.PipelineBench "$CPUS" "$SFX" "$RUNS" "$P" warmsmall 2>/dev/null | grep '"bench"' >> "$LOG"
   done
