@@ -42,7 +42,7 @@ object Featurize {
 
   /** Raw (pre-hash) feature strings for an ordered candidate (m1, m2) in a
     * tokenized sentence. Pure and total. */
-  def raw(tokens: IndexedSeq[String], m1: Mention, m2: Mention): IndexedSeq[String] = {
+  def raw(tokens: scala.collection.IndexedSeq[String], m1: Mention, m2: Mention): IndexedSeq[String] = {
     val out = new ArrayBuffer[String](32)
     val forward = m1.begin <= m2.begin
     val dir = if (forward) "F|" else "R|"
@@ -85,9 +85,63 @@ object Featurize {
     java.lang.Math.floorMod(h.toLong, TextModel.FeatureBuckets.toLong)
   }
 
+  /** Streaming replay of `MurmurHash3.stringHash(parts concatenated, seed)`:
+    * feeds chars through the identical 2-chars-per-mix block loop WITHOUT
+    * materializing the concatenation. stringHash was ~15% of pipeline
+    * executor CPU as StringBuilder.append + a re-read of the built string
+    * (JFR, round 4); the hot Session path now hashes prefix+token (and the
+    * dep-chain parts) through this. Bit-equality with the string form is
+    * asserted by FeaturizeSessionSpec on the fixture corpus plus a
+    * property test over random part splits. */
+  final class StreamHash(seed: Int) {
+    private var h = seed
+    private var len = 0
+    private var pending = -1
+    def feed(s: CharSequence): StreamHash = {
+      val n = s.length
+      var i = 0
+      while (i < n) {
+        val c = s.charAt(i).toInt
+        if (pending < 0) pending = c
+        else { h = MurmurHash3.mix(h, (pending << 16) + c); pending = -1 }
+        len += 1
+        i += 1
+      }
+      this
+    }
+    def result(): Int = {
+      val hh = if (pending >= 0) MurmurHash3.mixLast(h, pending) else h
+      MurmurHash3.finalizeHash(hh, len)
+    }
+  }
+
+  private def bucket(h: Int): Long =
+    java.lang.Math.floorMod(h.toLong, TextModel.FeatureBuckets.toLong)
+
+  /** hash(prefix + s) without the concat. */
+  private def hashCat(prefix: String, s: String): Long =
+    bucket(new StreamHash(TextModel.FeatureSeed).feed(prefix).feed(s).result())
+
+  /** hash(prefix + a + sep + b) without the concat. */
+  private def hashCat(prefix: String, a: String, sep: String, b: String): Long =
+    bucket(new StreamHash(TextModel.FeatureSeed)
+      .feed(prefix).feed(a).feed(sep).feed(b).result())
+
   /** Hashed feature ids (with multiplicity — the scorer sums per occurrence). */
-  def ids(tokens: IndexedSeq[String], m1: Mention, m2: Mention): Array[Long] =
+  def ids(tokens: scala.collection.IndexedSeq[String], m1: Mention, m2: Mention): Array[Long] =
     raw(tokens, m1, m2).map(hash).toArray
+
+  // per-direction prefix constants for the streaming hash path (feeding a
+  // fixed prefix then the token replays hash(prefix + token) exactly)
+  private val Dirs = Array("F|", "R|")
+  private val PUni = Array("F|btw:", "R|btw:")
+  private val PBi = Array("F|btw2:", "R|btw2:")
+  private val PBef = Array("F|bef:", "R|bef:")
+  private val PAft = Array("F|aft:", "R|aft:")
+  private val PDep = Array("F|dep:", "R|dep:")
+  private val PTp = Array("F|tp:", "R|tp:")
+  // the gap feature has only 2 x 11 possible strings — hashed once per process
+  private val GapH = Array.tabulate(2, 11)((d, g) => hash(Dirs(d) + "gap:" + g))
 
   /** Per-sentence featurization session: all position-dependent feature
     * hashes (between-unigram/bigram, context windows, verb-likeness) are
@@ -96,7 +150,7 @@ object Featurize {
     * building would redo the same hashing O(m²·gap) times. Emits EXACTLY the
     * ids (and order) of `ids(...)` (FeaturizeSessionSpec asserts equality on
     * the fixture corpus). */
-  final class Session(tokens: IndexedSeq[String]) {
+  final class Session(tokens: scala.collection.IndexedSeq[String]) {
     private val n = tokens.length
     // [dir 0=F 1=R][pos]
     private val uniH = Array.ofDim[Long](2, n)
@@ -104,17 +158,16 @@ object Featurize {
     private val befH = Array.ofDim[Long](2, n)
     private val aftH = Array.ofDim[Long](2, n)
     private val verb = new Array[Boolean](n)
-    private val dirs = Array("F|", "R|")
     locally {
       var i = 0
       while (i < n) {
         val t = tokens(i)
         var d = 0
         while (d < 2) {
-          uniH(d)(i) = hash(dirs(d) + "btw:" + t)
-          befH(d)(i) = hash(dirs(d) + "bef:" + t)
-          aftH(d)(i) = hash(dirs(d) + "aft:" + t)
-          if (i + 1 < n) biH(d)(i) = hash(dirs(d) + "btw2:" + t + "_" + tokens(i + 1))
+          uniH(d)(i) = hashCat(PUni(d), t)
+          befH(d)(i) = hashCat(PBef(d), t)
+          aftH(d)(i) = hashCat(PAft(d), t)
+          if (i + 1 < n) biH(d)(i) = hashCat(PBi(d), t, "_", tokens(i + 1))
           d += 1
         }
         verb(i) = isVerbLike(t)
@@ -127,7 +180,6 @@ object Featurize {
     def ids(m1: Mention, m2: Mention): Array[Long] = {
       val forward = m1.begin <= m2.begin
       val d = if (forward) 0 else 1
-      val dir = dirs(d)
       val (left, right) = if (forward) (m1, m2) else (m2, m1)
       val lo = math.min(math.max(left.end, 0), n)
       val hi = math.min(math.max(right.begin, 0), n)
@@ -142,15 +194,21 @@ object Featurize {
         if (i + 1 < hi) { buf(m) = biH(d)(i); m += 1 }
         i += 1
       }
-      val chain = new java.lang.StringBuilder()
+      // dep chain: stream (prefix, tok1, ">", tok2, ...) through the hasher —
+      // identical to hash(dir + "dep:" + chain.toString) with no builder
+      var sh: StreamHash = null
       i = lo
       while (i < hi) {
-        if (verb(i)) { if (chain.length > 0) chain.append('>'); chain.append(tokens(i)) }
+        if (verb(i)) {
+          if (sh == null) sh = new StreamHash(TextModel.FeatureSeed).feed(PDep(d))
+          else sh.feed(">")
+          sh.feed(tokens(i))
+        }
         i += 1
       }
-      if (chain.length > 0) { buf(m) = hash(dir + "dep:" + chain.toString); m += 1 }
-      buf(m) = hash(dir + "gap:" + math.min(math.max(hi - lo, 0), 10)); m += 1
-      buf(m) = hash(dir + "tp:" + m1.entType + "_" + m2.entType); m += 1
+      if (sh != null) { buf(m) = bucket(sh.result()); m += 1 }
+      buf(m) = GapH(d)(math.min(math.max(hi - lo, 0), 10)); m += 1
+      buf(m) = hashCat(PTp(d), m1.entType, "_", m2.entType); m += 1
       var k = math.max(left.begin - 2, 0)
       while (k < left.begin && k < n) { buf(m) = befH(d)(k); m += 1; k += 1 }
       k = right.end

@@ -56,7 +56,7 @@ final class KgModel(
     * consume matched tokens, advance. The broadcast-join implementation in
     * MentionJoin reproduces exactly this via sorted greedy selection
     * (MentionEquivalenceSpec asserts equality). */
-  def scanMentions(tokens: IndexedSeq[String]): IndexedSeq[Mention] = {
+  def scanMentions(tokens: scala.collection.IndexedSeq[String]): IndexedSeq[Mention] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Mention]
     val n = tokens.length
     var i = 0
@@ -85,7 +85,7 @@ final class KgModel(
   /** Score every ordered, span-disjoint mention pair; emit the argmax
     * predicate when its score clears tau (ties broken by predicate order —
     * deterministic). One relation max per ordered pair. */
-  def scoreRelations(tokens: IndexedSeq[String], ms: IndexedSeq[Mention]): Seq[ScoredRelation] = {
+  def scoreRelations(tokens: scala.collection.IndexedSeq[String], ms: IndexedSeq[Mention]): Seq[ScoredRelation] = {
     if (ms.length < 2) return Nil
     // per-sentence precomputed feature hashes pay off once they are shared
     // across many pairs; for the common 2-mention sentence direct hashing of

@@ -122,7 +122,13 @@ object Stages {
       val rels: Seq[ScoredRelation] =
         if (tokens == null || !inScope) Seq.empty
         else {
-          val toks = tokens.toIndexedSeq
+          // Spark hands the array column as a mutable.ArraySeq wrapper —
+          // already IndexedSeq; the old toIndexedSeq COPIED every token
+          // array once per row (~6% of executor CPU in the round-4 JFR)
+          val toks: scala.collection.IndexedSeq[String] = tokens match {
+            case is: scala.collection.IndexedSeq[String @unchecked] => is
+            case other => other.toIndexedSeq
+          }
           val ms = if (useAho) m.aho.scanGreedy(toks) else m.scanMentions(toks)
           accMentions.foreach(_.add(ms.length.toLong))
           if (ms.length >= 2) {

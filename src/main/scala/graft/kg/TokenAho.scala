@@ -22,7 +22,7 @@ final class TokenAho private (
 ) extends Serializable {
 
   /** All dictionary matches as (begin, end, entry), token-span [begin, end). */
-  def matches(tokens: IndexedSeq[String]): IndexedSeq[(Int, Int, DictEntry)] = {
+  def matches(tokens: scala.collection.IndexedSeq[String]): IndexedSeq[(Int, Int, DictEntry)] = {
     val res = mutable.ArrayBuffer.empty[(Int, Int, DictEntry)]
     var state = 0
     var i = 0
@@ -38,7 +38,7 @@ final class TokenAho private (
   }
 
   /** Greedy longest-match selection (pinned semantics). */
-  def scanGreedy(tokens: IndexedSeq[String]): IndexedSeq[Mention] = {
+  def scanGreedy(tokens: scala.collection.IndexedSeq[String]): IndexedSeq[Mention] = {
     val all = matches(tokens).sortBy { case (b, e, _) => (b, -(e - b)) }
     val outB = mutable.ArrayBuffer.empty[Mention]
     var cursor = 0
