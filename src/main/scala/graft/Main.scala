@@ -28,6 +28,15 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // ObjectHashAggregate silently degrades to SORT-based aggregation after
+      // 128 distinct keys per task (the Spark default, sized for huge agg
+      // buffers). Our min_str buffers are single short strings and phase-1
+      // canonicalization has thousands of keys per partition, so the planned
+      // hash agg was running mostly as a sort (visible as UnsafeKVExternalSorter
+      // in a JFR profile; wall-neutral at bench scale, but the hash path is the
+      // intended shape and 1M keys x ~100 B buffers stays ~100 MB per task —
+      // beyond that the key-count fallback IS the spill mechanism, kept on.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
     val spark = (if (sys.env.contains("SPARK_MASTER") || sys.props.contains("spark.master"))
       builder else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

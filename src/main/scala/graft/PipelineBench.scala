@@ -61,6 +61,9 @@ object PipelineBench {
         partsOverride.getOrElse(cpus).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // keep phase-1 canonicalization a REAL hash agg (see graft.Main — the
+      // 128-key default silently degrades ObjectHashAggregate to sort)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       // 32 MB input splits: the sf16 fixture is ~2.8 GB, which the 128 MB
       // default cuts into ~22 splits — idling a third of a 32-thread leg
       // through the whole scan stage. Sizing splits to the job (brief: "size
