@@ -1,6 +1,7 @@
 package graft.kg
 
 import graft.text.TextModel
+import org.apache.spark.unsafe.types.UTF8String
 import scala.util.hashing.MurmurHash3
 import scala.collection.mutable.ArrayBuffer
 
@@ -39,6 +40,60 @@ object Featurize {
   def isVerbLike(tok: String): Boolean =
     AuxVerbs.contains(tok) ||
       (tok.length >= 4 && (tok.endsWith("s") || tok.endsWith("ed") || tok.endsWith("ing")))
+
+  private val AuxVerbsU8: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](AuxVerbs.size * 2)
+    AuxVerbs.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+  private val SuffS = UTF8String.fromString("s")
+  private val SuffEd = UTF8String.fromString("ed")
+  private val SuffIng = UTF8String.fromString("ing")
+
+  /** `s.toString.length` (UTF-16 code units) without the String: one unit per
+    * 1–3-byte UTF-8 sequence, two (a surrogate pair) per 4-byte sequence. */
+  def utf16Length(s: UTF8String): Int = {
+    val nb = s.numBytes
+    var i = 0
+    var len = 0
+    while (i < nb) {
+      val b = s.getByte(i) & 0xFF
+      val w = if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4
+      len += (if (w == 4) 2 else 1)
+      i += w
+    }
+    len
+  }
+
+  /** isVerbLike on UTF-8 bytes. The suffix probes are exact on bytes: the
+    * suffixes are ASCII and UTF-8 continuation bytes are always >= 0x80, so a
+    * byte-suffix match IS a char-suffix match; the >=4 length is UTF-16 units,
+    * matching String.length. */
+  def isVerbLikeU8(tok: UTF8String): Boolean =
+    AuxVerbsU8.contains(tok) ||
+      (utf16Length(tok) >= 4 &&
+        (tok.endsWith(SuffS) || tok.endsWith(SuffEd) || tok.endsWith(SuffIng)))
+
+  /** Token-sequence view the featurizer hashes from: either deserialized
+    * Strings (the udf/equivalence path) or raw UTF8String tokens straight off
+    * Catalyst ArrayData (the native RelationsGenExpr path — zero per-token
+    * String allocation). Both feed identical UTF-16 code units into
+    * [[StreamHash]], so feature ids are bit-equal (FeaturizeSessionSpec). */
+  sealed trait TokenVec {
+    def length: Int
+    def feed(sh: StreamHash, i: Int): StreamHash
+    def verbLike(i: Int): Boolean
+  }
+  final class StrToks(ts: scala.collection.IndexedSeq[String]) extends TokenVec {
+    def length: Int = ts.length
+    def feed(sh: StreamHash, i: Int): StreamHash = sh.feed(ts(i))
+    def verbLike(i: Int): Boolean = isVerbLike(ts(i))
+  }
+  final class U8Toks(ts: Array[UTF8String]) extends TokenVec {
+    def length: Int = ts.length
+    def feed(sh: StreamHash, i: Int): StreamHash = sh.feedUtf8(ts(i))
+    def verbLike(i: Int): Boolean = isVerbLikeU8(ts(i))
+  }
 
   /** Raw (pre-hash) feature strings for an ordered candidate (m1, m2) in a
     * tokenized sentence. Pure and total. */
@@ -97,15 +152,41 @@ object Featurize {
     private var h = seed
     private var len = 0
     private var pending = -1
+    private def feedChar(c: Int): Unit = {
+      if (pending < 0) pending = c
+      else { h = MurmurHash3.mix(h, (pending << 16) + c); pending = -1 }
+      len += 1
+    }
     def feed(s: CharSequence): StreamHash = {
       val n = s.length
       var i = 0
-      while (i < n) {
-        val c = s.charAt(i).toInt
-        if (pending < 0) pending = c
-        else { h = MurmurHash3.mix(h, (pending << 16) + c); pending = -1 }
-        len += 1
-        i += 1
+      while (i < n) { feedChar(s.charAt(i).toInt); i += 1 }
+      this
+    }
+    /** Feed a token straight from its UTF-8 bytes: decodes to the UTF-16 code
+      * units `s.toString` would produce and replays them through the same mix
+      * loop — bit-equal to `feed(s.toString)` for any VALID UTF-8 input (the
+      * UTF8String invariant everywhere in the engine: tokenize_lower output,
+      * parquet strings). Skips the String allocation the UDF boundary paid
+      * per token (the remaining ~14% conversion cost in the round-4 JFR). */
+    def feedUtf8(s: UTF8String): StreamHash = {
+      val nb = s.numBytes
+      var i = 0
+      while (i < nb) {
+        val b0 = s.getByte(i) & 0xFF
+        if (b0 < 0x80) { feedChar(b0); i += 1 }
+        else if (b0 < 0xE0) {
+          feedChar(((b0 & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F)); i += 2
+        } else if (b0 < 0xF0) {
+          feedChar(((b0 & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
+            (s.getByte(i + 2) & 0x3F)); i += 3
+        } else {
+          val cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
+            ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F)
+          feedChar(0xD800 + ((cp - 0x10000) >> 10))
+          feedChar(0xDC00 + ((cp - 0x10000) & 0x3FF))
+          i += 4
+        }
       }
       this
     }
@@ -117,6 +198,10 @@ object Featurize {
 
   private def bucket(h: Int): Long =
     java.lang.Math.floorMod(h.toLong, TextModel.FeatureBuckets.toLong)
+
+  /** Fresh seeded StreamHash with a feature-class prefix already fed. */
+  private def sh(prefix: String): StreamHash =
+    new StreamHash(TextModel.FeatureSeed).feed(prefix)
 
   /** hash(prefix + s) without the concat. */
   private def hashCat(prefix: String, s: String): Long =
@@ -150,8 +235,9 @@ object Featurize {
     * building would redo the same hashing O(m²·gap) times. Emits EXACTLY the
     * ids (and order) of `ids(...)` (FeaturizeSessionSpec asserts equality on
     * the fixture corpus). */
-  final class Session(tokens: scala.collection.IndexedSeq[String]) {
-    private val n = tokens.length
+  final class Session(tv: TokenVec) {
+    def this(tokens: scala.collection.IndexedSeq[String]) = this(new StrToks(tokens))
+    private val n = tv.length
     // [dir 0=F 1=R][pos]
     private val uniH = Array.ofDim[Long](2, n)
     private val biH = Array.ofDim[Long](2, math.max(n - 1, 0))
@@ -161,16 +247,16 @@ object Featurize {
     locally {
       var i = 0
       while (i < n) {
-        val t = tokens(i)
         var d = 0
         while (d < 2) {
-          uniH(d)(i) = hashCat(PUni(d), t)
-          befH(d)(i) = hashCat(PBef(d), t)
-          aftH(d)(i) = hashCat(PAft(d), t)
-          if (i + 1 < n) biH(d)(i) = hashCat(PBi(d), t, "_", tokens(i + 1))
+          uniH(d)(i) = bucket(tv.feed(sh(PUni(d)), i).result())
+          befH(d)(i) = bucket(tv.feed(sh(PBef(d)), i).result())
+          aftH(d)(i) = bucket(tv.feed(sh(PAft(d)), i).result())
+          if (i + 1 < n)
+            biH(d)(i) = bucket(tv.feed(tv.feed(sh(PBi(d)), i).feed("_"), i + 1).result())
           d += 1
         }
-        verb(i) = isVerbLike(t)
+        verb(i) = tv.verbLike(i)
         i += 1
       }
     }
@@ -196,17 +282,17 @@ object Featurize {
       }
       // dep chain: stream (prefix, tok1, ">", tok2, ...) through the hasher —
       // identical to hash(dir + "dep:" + chain.toString) with no builder
-      var sh: StreamHash = null
+      var dep: StreamHash = null
       i = lo
       while (i < hi) {
         if (verb(i)) {
-          if (sh == null) sh = new StreamHash(TextModel.FeatureSeed).feed(PDep(d))
-          else sh.feed(">")
-          sh.feed(tokens(i))
+          if (dep == null) dep = new StreamHash(TextModel.FeatureSeed).feed(PDep(d))
+          else dep.feed(">")
+          tv.feed(dep, i)
         }
         i += 1
       }
-      if (sh != null) { buf(m) = bucket(sh.result()); m += 1 }
+      if (dep != null) { buf(m) = bucket(dep.result()); m += 1 }
       buf(m) = GapH(d)(math.min(math.max(hi - lo, 0), 10)); m += 1
       buf(m) = hashCat(PTp(d), m1.entType, "_", m2.entType); m += 1
       var k = math.max(left.begin - 2, 0)
@@ -216,6 +302,53 @@ object Featurize {
       while (k < kEnd) { if (k >= 0) { buf(m) = aftH(d)(k); m += 1 }; k += 1 }
       if (m == buf.length) buf else java.util.Arrays.copyOf(buf, m)
     }
+  }
+
+  /** Direct streaming featurization of ONE ordered pair — same ids, same
+    * order, same multiplicity as `ids(tokens, m1, m2)` (FeaturizeSessionSpec
+    * asserts), but hashing only the pair's own window positions: for the
+    * common 2-mention sentence a [[Session]]'s 8-hashes-per-position
+    * precompute over the whole sentence would mostly be wasted. */
+  def pairIds(tv: TokenVec, m1: Mention, m2: Mention): Array[Long] = {
+    val n = tv.length
+    val forward = m1.begin <= m2.begin
+    val d = if (forward) 0 else 1
+    val (left, right) = if (forward) (m1, m2) else (m2, m1)
+    val lo = math.min(math.max(left.end, 0), n)
+    val hi = math.min(math.max(right.begin, 0), n)
+    val buf = new Array[Long](2 * math.max(hi - lo, 0) + 7)
+    var m = 0
+    var i = lo
+    while (i < hi) {
+      buf(m) = bucket(tv.feed(sh(PUni(d)), i).result()); m += 1
+      if (i + 1 < hi) {
+        buf(m) = bucket(tv.feed(tv.feed(sh(PBi(d)), i).feed("_"), i + 1).result()); m += 1
+      }
+      i += 1
+    }
+    var dep: StreamHash = null
+    i = lo
+    while (i < hi) {
+      if (tv.verbLike(i)) {
+        if (dep == null) dep = sh(PDep(d)) else dep.feed(">")
+        tv.feed(dep, i)
+      }
+      i += 1
+    }
+    if (dep != null) { buf(m) = bucket(dep.result()); m += 1 }
+    buf(m) = GapH(d)(math.min(math.max(hi - lo, 0), 10)); m += 1
+    buf(m) = hashCat(PTp(d), m1.entType, "_", m2.entType); m += 1
+    var k = math.max(left.begin - 2, 0)
+    while (k < left.begin && k < n) {
+      buf(m) = bucket(tv.feed(sh(PBef(d)), k).result()); m += 1; k += 1
+    }
+    k = right.end
+    val kEnd = math.min(right.end + 2, n)
+    while (k < kEnd) {
+      if (k >= 0) { buf(m) = bucket(tv.feed(sh(PAft(d)), k).result()); m += 1 }
+      k += 1
+    }
+    if (m == buf.length) buf else java.util.Arrays.copyOf(buf, m)
   }
 
   /** The context-independent weighted classes of a forward planted instance of

@@ -3,6 +3,7 @@ package graft.kg
 import graft.text.TextModel
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Broadcast model state: entity dictionary + per-predicate dense weight
   * vectors (SURVEY.md §4.2.3 — a dense 2^18-slot vector per predicate, ~2 MB
@@ -30,6 +31,73 @@ final class KgModel(
     bi.groupBy(_._1.takeWhile(_ != ' ')).map { case (t1, grp) =>
       t1 -> grp.map { case (surface, e) => surface.drop(t1.length + 1) -> e }
     }
+
+  /** UTF8String-keyed twins of the dictionary maps, built once per executor
+    * JVM — the native RelationsGenExpr probes these with the raw tokens off
+    * Catalyst ArrayData, so the scan allocates NO per-token Strings.
+    * UTF8String equals/hashCode are byte-wise, which for the valid UTF-8 the
+    * engine produces coincides exactly with String equality. */
+  @transient lazy val uniU8: java.util.HashMap[UTF8String, DictEntry] = {
+    val m = new java.util.HashMap[UTF8String, DictEntry](uni.size * 2)
+    uni.foreach { case (s, e) => m.put(UTF8String.fromString(s), e) }
+    m
+  }
+
+  @transient lazy val biNestedU8
+      : java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, DictEntry]] = {
+    val m = new java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, DictEntry]](
+      biNested.size * 2)
+    biNested.foreach { case (t1, inner) =>
+      val im = new java.util.HashMap[UTF8String, DictEntry](inner.size * 2)
+      inner.foreach { case (t2, e) => im.put(UTF8String.fromString(t2), e) }
+      m.put(UTF8String.fromString(t1), im)
+    }
+    m
+  }
+
+  /** Canonical-entity + predicate names pre-encoded as UTF8String, built once
+    * per executor JVM: emitted relations are sparse, but handing Catalyst a
+    * cached reference beats re-encoding the same few canonicals per row. */
+  @transient lazy val outU8: java.util.HashMap[String, UTF8String] = {
+    val m = new java.util.HashMap[String, UTF8String]()
+    (uni.values ++ bi.values).foreach(e =>
+      m.put(e.canonical, UTF8String.fromString(e.canonical)))
+    preds.foreach(p => m.put(p.pred, UTF8String.fromString(p.pred)))
+    m
+  }
+
+  def u8(s: String): UTF8String = {
+    val v = outU8.get(s)
+    if (v != null) v else UTF8String.fromString(s)
+  }
+
+  /** [[scanMentions]] on raw UTF8String tokens — identical greedy semantics
+    * over the U8-keyed maps (RelationsGenSpec asserts equality). */
+  def scanMentionsU8(tokens: Array[UTF8String]): IndexedSeq[Mention] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Mention]
+    val n = tokens.length
+    var i = 0
+    while (i < n) {
+      var matched = false
+      if (i + 1 < n) {
+        val inner = biNestedU8.get(tokens(i))
+        val e = if (inner == null) null else inner.get(tokens(i + 1))
+        if (e != null) {
+          out += Mention(e.entityId, e.canonical, e.entType, i, i + 2)
+          i += 2; matched = true
+        }
+      }
+      if (!matched) {
+        val e = uniU8.get(tokens(i))
+        if (e != null) {
+          out += Mention(e.entityId, e.canonical, e.entType, i, i + 1)
+          i += 1; matched = true
+        }
+      }
+      if (!matched) i += 1
+    }
+    out.toIndexedSeq
+  }
 
   /** Bucket-major transpose of the weight matrix, built once per executor
     * JVM: wFlat(fid * nPreds + p) == weights(p)(fid). The scoring loop walks
@@ -85,12 +153,17 @@ final class KgModel(
   /** Score every ordered, span-disjoint mention pair; emit the argmax
     * predicate when its score clears tau (ties broken by predicate order —
     * deterministic). One relation max per ordered pair. */
-  def scoreRelations(tokens: scala.collection.IndexedSeq[String], ms: IndexedSeq[Mention]): Seq[ScoredRelation] = {
+  def scoreRelations(tokens: scala.collection.IndexedSeq[String], ms: IndexedSeq[Mention]): Seq[ScoredRelation] =
+    scoreRelationsTv(new Featurize.StrToks(tokens), ms)
+
+  /** Token-representation-independent scoring core: String tokens (udf path)
+    * and raw UTF8String tokens (native generator path) hash identically. */
+  def scoreRelationsTv(tv: Featurize.TokenVec, ms: IndexedSeq[Mention]): Seq[ScoredRelation] = {
     if (ms.length < 2) return Nil
     // per-sentence precomputed feature hashes pay off once they are shared
     // across many pairs; for the common 2-mention sentence direct hashing of
     // the single window is cheaper (identical ids either way)
-    val session = if (ms.length >= 3) new Featurize.Session(tokens) else null
+    val session = if (ms.length >= 3) new Featurize.Session(tv) else null
     val out = scala.collection.mutable.ArrayBuffer.empty[ScoredRelation]
     var a = 0
     while (a < ms.length) {
@@ -102,7 +175,7 @@ final class KgModel(
           if (disjoint && m1.entityId != m2.entityId) {
             val fids =
               if (session != null) session.ids(m1, m2)
-              else Featurize.ids(tokens, m1, m2)
+              else Featurize.pairIds(tv, m1, m2)
             // accumulate ALL predicates per feature from the bucket-major
             // matrix (contiguous), then select among the type-eligible ones;
             // per predicate the summation order over fids is unchanged, so

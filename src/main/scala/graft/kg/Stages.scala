@@ -116,6 +116,29 @@ object Stages {
                 pageMarkers: Boolean = false): DataFrame = {
     require(mentionMode == "scan" || mentionMode == "aho",
       s"unknown mentionMode '$mentionMode' (expected scan|aho)")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val (anchorCol, inScopeCol) = markerCols(pageMarkers)
+    val gen = graft.plans.RelationsGenExpr(
+      ColumnBridge.expression(col("tokens")),
+      ColumnBridge.expression(anchorCol),
+      ColumnBridge.expression(inScopeCol),
+      model, mentionMode == "aho", accMentions, accCandidates)
+    tokenized.select(col("url"), col("part_id"),
+      ColumnBridge.column(gen).as(Seq("subj", "pred", "obj", "score")))
+  }
+
+  /** The round-3 udf+explode implementation of [[relations]] — superseded as
+    * the production path by the native [[graft.plans.RelationsGenExpr]]
+    * Generator (zero per-token String deserialization, direct InternalRow
+    * emission), kept verbatim as the oracle for RelationsGenSpec's
+    * row-for-row equivalence assertion. */
+  def relationsUdf(tokenized: DataFrame, model: Broadcast[KgModel],
+                   accMentions: Option[LongAccumulator] = None,
+                   accCandidates: Option[LongAccumulator] = None,
+                   mentionMode: String = "scan",
+                   pageMarkers: Boolean = false): DataFrame = {
+    require(mentionMode == "scan" || mentionMode == "aho",
+      s"unknown mentionMode '$mentionMode' (expected scan|aho)")
     val useAho = mentionMode == "aho"
     val scoreUdf = udf { (tokens: Seq[String], anchor: Boolean, inScope: Boolean) =>
       val m = model.value
@@ -140,11 +163,7 @@ object Stages {
         rels :+ ScoredRelation(null, if (inScope) PageMarkerIn else PageMarkerOut, null, 0.0)
       else rels
     }
-    // anchor: the page's single sent_idx==0 row, or its posexplode_outer null
-    // row when it has no sentences — exactly one per page either way
-    val anchorCol =
-      if (pageMarkers) coalesce(col("sent_idx") === 0, lit(true)) else lit(false)
-    val inScopeCol = if (pageMarkers) col("in_scope") else lit(true)
+    val (anchorCol, inScopeCol) = markerCols(pageMarkers)
     tokenized
       .select(col("url"), col("part_id"),
         explode(scoreUdf(col("tokens"), anchorCol, inScopeCol)).as("rel"))
@@ -152,6 +171,12 @@ object Stages {
         col("rel.subj").as("subj"), col("rel.pred").as("pred"),
         col("rel.obj").as("obj"), col("rel.score").as("score"))
   }
+
+  /** anchor: the page's single sent_idx==0 row, or its posexplode_outer null
+    * row when it has no sentences — exactly one per page either way. */
+  private def markerCols(pageMarkers: Boolean): (Column, Column) = (
+    if (pageMarkers) coalesce(col("sent_idx") === 0, lit(true)) else lit(false),
+    if (pageMarkers) col("in_scope") else lit(true))
 
   /** End-to-end A1→A10: webpages → scored relation mentions. */
   def extractRelations(webpages: DataFrame, model: Broadcast[KgModel],
