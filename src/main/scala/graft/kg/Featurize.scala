@@ -41,11 +41,36 @@ object Featurize {
     AuxVerbs.contains(tok) ||
       (tok.length >= 4 && (tok.endsWith("s") || tok.endsWith("ed") || tok.endsWith("ing")))
 
-  private val AuxVerbsU8: java.util.HashSet[UTF8String] = {
-    val s = new java.util.HashSet[UTF8String](AuxVerbs.size * 2)
-    AuxVerbs.foreach(v => s.add(UTF8String.fromString(v)))
-    s
+  /** The aux-verb set packed as sorted longs (all members are 2–6 ASCII
+    * bytes; big-endian byte packing is injective for such strings): a
+    * 19-element binary search on one cache line, replacing a HashSet whose
+    * per-call byte-wise hashCode+equals was ~5% of executor CPU (round-4
+    * JFR) — verbLike runs per between-token per candidate pair. */
+  private val AuxPacked: Array[Long] = {
+    val a = AuxVerbs.toArray.map { s =>
+      var v = 0L
+      s.foreach(c => v = (v << 8) | c.toInt)
+      v
+    }
+    java.util.Arrays.sort(a)
+    a
   }
+  private val AuxMaxBytes = AuxVerbs.map(_.length).max
+
+  private def isAuxU8(t: UTF8String): Boolean = {
+    val nb = t.numBytes
+    if (nb < 2 || nb > AuxMaxBytes) return false
+    var v = 0L
+    var i = 0
+    while (i < nb) {
+      val b = t.getByte(i) & 0xFF
+      if (b >= 0x80) return false // aux verbs are pure ASCII
+      v = (v << 8) | b
+      i += 1
+    }
+    java.util.Arrays.binarySearch(AuxPacked, v) >= 0
+  }
+
   private val SuffS = UTF8String.fromString("s")
   private val SuffEd = UTF8String.fromString("ed")
   private val SuffIng = UTF8String.fromString("ing")
@@ -70,7 +95,7 @@ object Featurize {
     * byte-suffix match IS a char-suffix match; the >=4 length is UTF-16 units,
     * matching String.length. */
   def isVerbLikeU8(tok: UTF8String): Boolean =
-    AuxVerbsU8.contains(tok) ||
+    isAuxU8(tok) ||
       (utf16Length(tok) >= 4 &&
         (tok.endsWith(SuffS) || tok.endsWith(SuffEd) || tok.endsWith(SuffIng)))
 

@@ -32,28 +32,12 @@ final class KgModel(
       t1 -> grp.map { case (surface, e) => surface.drop(t1.length + 1) -> e }
     }
 
-  /** UTF8String-keyed twins of the dictionary maps, built once per executor
-    * JVM — the native RelationsGenExpr probes these with the raw tokens off
+  /** UTF8String-keyed one-probe dictionary twin, built once per executor
+    * JVM — the native RelationsGenExpr probes it with the raw tokens off
     * Catalyst ArrayData, so the scan allocates NO per-token Strings.
     * UTF8String equals/hashCode are byte-wise, which for the valid UTF-8 the
     * engine produces coincides exactly with String equality. */
-  @transient lazy val uniU8: java.util.HashMap[UTF8String, DictEntry] = {
-    val m = new java.util.HashMap[UTF8String, DictEntry](uni.size * 2)
-    uni.foreach { case (s, e) => m.put(UTF8String.fromString(s), e) }
-    m
-  }
-
-  @transient lazy val biNestedU8
-      : java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, DictEntry]] = {
-    val m = new java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, DictEntry]](
-      biNested.size * 2)
-    biNested.foreach { case (t1, inner) =>
-      val im = new java.util.HashMap[UTF8String, DictEntry](inner.size * 2)
-      inner.foreach { case (t2, e) => im.put(UTF8String.fromString(t2), e) }
-      m.put(UTF8String.fromString(t1), im)
-    }
-    m
-  }
+  @transient lazy val dictProbe: TokenDict = TokenDict.build(uni, biNested)
 
   /** Canonical-entity + predicate names pre-encoded as UTF8String, built once
     * per executor JVM: emitted relations are sparse, but handing Catalyst a
@@ -72,31 +56,37 @@ final class KgModel(
   }
 
   /** [[scanMentions]] on raw UTF8String tokens — identical greedy semantics
-    * over the U8-keyed maps (RelationsGenSpec asserts equality). */
-  def scanMentionsU8(tokens: Array[UTF8String]): IndexedSeq[Mention] = {
+    * over the one-probe [[TokenDict]] (RelationsGenSpec asserts equality):
+    * at each position ONE hash+probe answers bigram-head and unigram at
+    * once; the returned buffer is handed to the scorer without an
+    * immutable-copy round (it never escapes the generator's eval). */
+  def scanMentionsU8(tokens: Array[UTF8String]): scala.collection.IndexedSeq[Mention] = {
+    val d = dictProbe
     val out = scala.collection.mutable.ArrayBuffer.empty[Mention]
     val n = tokens.length
     var i = 0
     while (i < n) {
       var matched = false
-      if (i + 1 < n) {
-        val inner = biNestedU8.get(tokens(i))
-        val e = if (inner == null) null else inner.get(tokens(i + 1))
-        if (e != null) {
-          out += Mention(e.entityId, e.canonical, e.entType, i, i + 2)
-          i += 2; matched = true
+      val slot = d.find(tokens(i))
+      if (slot >= 0) {
+        if (i + 1 < n) {
+          val e = d.biAt(slot, tokens(i + 1))
+          if (e != null) {
+            out += Mention(e.entityId, e.canonical, e.entType, i, i + 2)
+            i += 2; matched = true
+          }
         }
-      }
-      if (!matched) {
-        val e = uniU8.get(tokens(i))
-        if (e != null) {
-          out += Mention(e.entityId, e.canonical, e.entType, i, i + 1)
-          i += 1; matched = true
+        if (!matched) {
+          val e = d.uniAt(slot)
+          if (e != null) {
+            out += Mention(e.entityId, e.canonical, e.entType, i, i + 1)
+            i += 1; matched = true
+          }
         }
       }
       if (!matched) i += 1
     }
-    out.toIndexedSeq
+    out
   }
 
   /** Bucket-major transpose of the weight matrix, built once per executor
@@ -154,11 +144,14 @@ final class KgModel(
     * predicate when its score clears tau (ties broken by predicate order —
     * deterministic). One relation max per ordered pair. */
   def scoreRelations(tokens: scala.collection.IndexedSeq[String], ms: IndexedSeq[Mention]): Seq[ScoredRelation] =
-    scoreRelationsTv(new Featurize.StrToks(tokens), ms)
+    scoreRelationsTv(new Featurize.StrToks(tokens), ms).toSeq
 
   /** Token-representation-independent scoring core: String tokens (udf path)
-    * and raw UTF8String tokens (native generator path) hash identically. */
-  def scoreRelationsTv(tv: Featurize.TokenVec, ms: IndexedSeq[Mention]): Seq[ScoredRelation] = {
+    * and raw UTF8String tokens (native generator path) hash identically.
+    * Returns its build buffer directly — callers either iterate once
+    * (RelationsGenExpr) or take an immutable copy (scoreRelations). */
+  def scoreRelationsTv(tv: Featurize.TokenVec,
+                       ms: scala.collection.IndexedSeq[Mention]): scala.collection.Seq[ScoredRelation] = {
     if (ms.length < 2) return Nil
     // per-sentence precomputed feature hashes pay off once they are shared
     // across many pairs; for the common 2-mention sentence direct hashing of
@@ -209,7 +202,7 @@ final class KgModel(
       }
       a += 1
     }
-    out.toSeq
+    out
   }
 }
 

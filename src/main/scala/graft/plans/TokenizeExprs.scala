@@ -10,14 +10,54 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen-reachable runtime for the tokenize expressions (a plain object so
   * Scala emits static forwarders the generated Java can call, like
-  * Extract.text in ExtractTextExpr). */
+  * Extract.text in ExtractTextExpr).
+  *
+  * Both scanners walk the UTF-8 BYTES and emit `fromAddress` views into the
+  * input buffer — zero decode, zero String, zero byte copies (the round-4
+  * JFR put ~10% of executor CPU in this stage's toString/substring/
+  * fromString churn). Same lifetime contract as `UnsafeRow.getUTF8String`'s
+  * zero-copy views: downstream operators copy bytes when they materialize
+  * output rows, before the input buffer can advance. Equivalence with the
+  * pinned String scanners (graft.text.Tokenize) is byte-exact:
+  *  - every sentence-boundary char ('.','!','?', the 5 ASCII ws) is a
+  *    single ASCII byte, and UTF-8 continuation/lead bytes are all >= 0x80,
+  *    so the byte walk sees exactly the chars the String walk saw;
+  *  - token runs are maximal letter/digit CODE-POINT runs — the walk
+  *    decodes each code point from its 1-4 bytes (same classification,
+  *    Character.isLetter/isDigit) and slices at code-point boundaries, so a
+  *    slice's bytes == the re-encoded bytes of the String substring.
+  * TokenizeEquivalenceSpec fuzzes both against the java.util.regex forms. */
 object TokenizeRuntime {
+
+  private def isSentWsB(b: Int): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  private def isBoundaryB(b: Int): Boolean = b == '.' || b == '!' || b == '?'
+
   def sentences(s: UTF8String): ArrayData = {
-    val parts = Tokenize.splitSentences(s.toString)
-    val out = new Array[Any](parts.length)
-    var i = 0
-    while (i < parts.length) { out(i) = UTF8String.fromString(parts(i)); i += 1 }
-    new GenericArrayData(out)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes
+    var out = new Array[AnyRef](8)
+    var m = 0
+    def emit(a: Int, b: Int): Unit = {
+      if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
+      out(m) = UTF8String.fromAddress(base, off + a, b - a)
+      m += 1
+    }
+    var start = 0
+    var i = 1
+    while (i < nb) {
+      if (isSentWsB(s.getByte(i) & 0xFF) && isBoundaryB(s.getByte(i - 1) & 0xFF)) {
+        emit(start, i)
+        i += 1
+        while (i < nb && isSentWsB(s.getByte(i) & 0xFF)) i += 1
+        start = i
+        i += 1 // a match cannot start AT `start` (preceded by whitespace)
+      } else i += 1
+    }
+    emit(start, nb)
+    new GenericArrayData((if (m == out.length) out else java.util.Arrays.copyOf(out, m)).asInstanceOf[Array[Any]])
   }
 
   /** lower + token split + empty filter in one call. Lowercasing delegates to
@@ -25,11 +65,44 @@ object TokenizeRuntime {
     * default collation — so the composite stays bit-identical to
     * filter(split(lower(sent), TokenSplitRegex), t => length(t) > 0). */
   def tokensLower(s: UTF8String): ArrayData = {
-    val toks = Tokenize.tokensOf(s.toLowerCase.toString)
-    val out = new Array[Any](toks.length)
+    val low = s.toLowerCase
+    val base = low.getBaseObject
+    val off = low.getBaseOffset
+    val nb = low.numBytes
+    var out = new Array[AnyRef](16)
+    var m = 0
+    var start = -1
     var i = 0
-    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
-    new GenericArrayData(out)
+    while (i < nb) {
+      val b0 = low.getByte(i) & 0xFF
+      var w = 1
+      var cp = b0
+      if (b0 >= 0x80) {
+        if (b0 < 0xE0) {
+          w = 2; cp = ((b0 & 0x1F) << 6) | (low.getByte(i + 1) & 0x3F)
+        } else if (b0 < 0xF0) {
+          w = 3; cp = ((b0 & 0x0F) << 12) | ((low.getByte(i + 1) & 0x3F) << 6) |
+            (low.getByte(i + 2) & 0x3F)
+        } else {
+          w = 4; cp = ((b0 & 0x07) << 18) | ((low.getByte(i + 1) & 0x3F) << 12) |
+            ((low.getByte(i + 2) & 0x3F) << 6) | (low.getByte(i + 3) & 0x3F)
+        }
+      }
+      if (Tokenize.isTokenCp(cp)) { if (start < 0) start = i }
+      else if (start >= 0) {
+        if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
+        out(m) = UTF8String.fromAddress(base, off + start, i - start)
+        m += 1
+        start = -1
+      }
+      i += w
+    }
+    if (start >= 0) {
+      if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
+      out(m) = UTF8String.fromAddress(base, off + start, nb - start)
+      m += 1
+    }
+    new GenericArrayData((if (m == out.length) out else java.util.Arrays.copyOf(out, m)).asInstanceOf[Array[Any]])
   }
 }
 
