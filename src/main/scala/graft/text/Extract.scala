@@ -41,7 +41,7 @@ object Extract {
     * Scanner fidelity notes: \b is java.util.regex's default ASCII word
     * boundary; (?i) without UNICODE_CASE folds ASCII ONLY (so e.g. U+017F
     * 'ſ' does NOT match 's' — asciiCi below preserves that). */
-  private val BlockNames = Array(
+  private[text] val BlockNames = Array(
     "p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
     "tr", "table", "section", "article", "header", "footer", "blockquote")
 
@@ -177,6 +177,31 @@ object Extract {
     false
   }
 
+  /** The step-4 whitelist: replacement for an entity body (the text between
+    * '&' and ';'), or null when the body is not accepted and the '&' stays
+    * verbatim. Shared verbatim by decodeEntities, decodeAndNormalize and the
+    * byte path (ExtractBytes) so the three can never diverge — note the
+    * deliberate Integer.parseInt quirks (unicode digits, leading signs) are
+    * part of the pinned semantics. */
+  private[text] def entityReplacement(body: String): String = body match {
+    case "amp"  => "&"
+    case "lt"   => "<"
+    case "gt"   => ">"
+    case "quot" => "\""
+    case "nbsp" => " "
+    case b if b.length >= 2 && b.charAt(0) == '#' =>
+      val numStr = b.substring(1)
+      val cp: Int =
+        try {
+          if ((numStr.charAt(0) == 'x' || numStr.charAt(0) == 'X') && numStr.length > 1)
+            Integer.parseInt(numStr.substring(1), 16)
+          else Integer.parseInt(numStr, 10)
+        } catch { case _: NumberFormatException => -1 }
+      if (cp >= 1 && cp <= 0xFFFF && !(cp >= 0xD800 && cp <= 0xDFFF)) cp.toChar.toString
+      else null
+    case _ => null
+  }
+
   /** Step 4 — fixed-whitelist entity decode (single pass, no re-decode). */
   def decodeEntities(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
@@ -188,25 +213,7 @@ object Extract {
         val semi = s.indexOf(';', i + 1)
         var advanced = false
         if (semi > i && semi - i <= 8) { // longest accepted body fits in 7 chars
-          val body = s.substring(i + 1, semi)
-          val rep: String = body match {
-            case "amp"  => "&"
-            case "lt"   => "<"
-            case "gt"   => ">"
-            case "quot" => "\""
-            case "nbsp" => " "
-            case b if b.length >= 2 && b.charAt(0) == '#' =>
-              val numStr = b.substring(1)
-              val cp: Int =
-                try {
-                  if ((numStr.charAt(0) == 'x' || numStr.charAt(0) == 'X') && numStr.length > 1)
-                    Integer.parseInt(numStr.substring(1), 16)
-                  else Integer.parseInt(numStr, 10)
-                } catch { case _: NumberFormatException => -1 }
-              if (cp >= 1 && cp <= 0xFFFF && !(cp >= 0xD800 && cp <= 0xDFFF)) cp.toChar.toString
-              else null
-            case _ => null
-          }
+          val rep = entityReplacement(s.substring(i + 1, semi))
           if (rep != null) { sb.append(rep); i = semi + 1; advanced = true }
         }
         if (!advanced) { sb.append(c); i += 1 }
@@ -285,25 +292,7 @@ object Extract {
         val semi = s.indexOf(';', i + 1)
         var advanced = false
         if (semi > i && semi - i <= 8) {
-          val body = s.substring(i + 1, semi)
-          val rep: String = body match {
-            case "amp"  => "&"
-            case "lt"   => "<"
-            case "gt"   => ">"
-            case "quot" => "\""
-            case "nbsp" => " "
-            case b if b.length >= 2 && b.charAt(0) == '#' =>
-              val numStr = b.substring(1)
-              val cp: Int =
-                try {
-                  if ((numStr.charAt(0) == 'x' || numStr.charAt(0) == 'X') && numStr.length > 1)
-                    Integer.parseInt(numStr.substring(1), 16)
-                  else Integer.parseInt(numStr, 10)
-                } catch { case _: NumberFormatException => -1 }
-              if (cp >= 1 && cp <= 0xFFFF && !(cp >= 0xD800 && cp <= 0xDFFF)) cp.toChar.toString
-              else null
-            case _ => null
-          }
+          val rep = entityReplacement(s.substring(i + 1, semi))
           if (rep != null) {
             var k = 0
             while (k < rep.length) { emit(rep.charAt(k)); k += 1 }
