@@ -41,19 +41,23 @@ object Featurize {
     AuxVerbs.contains(tok) ||
       (tok.length >= 4 && (tok.endsWith("s") || tok.endsWith("ed") || tok.endsWith("ing")))
 
-  /** The aux-verb set packed as sorted longs (all members are 2–6 ASCII
-    * bytes; big-endian byte packing is injective for such strings): a
-    * 19-element binary search on one cache line, replacing a HashSet whose
-    * per-call byte-wise hashCode+equals was ~5% of executor CPU (round-4
-    * JFR) — verbLike runs per between-token per candidate pair. */
-  private val AuxPacked: Array[Long] = {
-    val a = AuxVerbs.toArray.map { s =>
+  /** The aux-verb set packed as longs (all members are 2–6 ASCII bytes;
+    * big-endian byte packing is injective for such strings) in a 64-slot
+    * open-addressed table: membership is one multiply-shift probe, usually
+    * one compare (verbLike runs per between-token per candidate pair — a
+    * 19-element binary search here was ~12% of executor CPU in the round-4
+    * JFR, five data-dependent branches per call). */
+  private val AuxTableBits = 6
+  private val AuxTable: Array[Long] = {
+    val t = new Array[Long](1 << AuxTableBits) // 0 is never a packed value
+    AuxVerbs.foreach { s =>
       var v = 0L
       s.foreach(c => v = (v << 8) | c.toInt)
-      v
+      var idx = ((v * 0x9E3779B97F4A7C15L) >>> (64 - AuxTableBits)).toInt
+      while (t(idx) != 0L) idx = (idx + 1) & (t.length - 1)
+      t(idx) = v
     }
-    java.util.Arrays.sort(a)
-    a
+    t
   }
   private val AuxMaxBytes = AuxVerbs.map(_.length).max
 
@@ -68,12 +72,13 @@ object Featurize {
       v = (v << 8) | b
       i += 1
     }
-    java.util.Arrays.binarySearch(AuxPacked, v) >= 0
+    var idx = ((v * 0x9E3779B97F4A7C15L) >>> (64 - AuxTableBits)).toInt
+    while (AuxTable(idx) != 0L) {
+      if (AuxTable(idx) == v) return true
+      idx = (idx + 1) & (AuxTable.length - 1)
+    }
+    false
   }
-
-  private val SuffS = UTF8String.fromString("s")
-  private val SuffEd = UTF8String.fromString("ed")
-  private val SuffIng = UTF8String.fromString("ing")
 
   /** `s.toString.length` (UTF-16 code units) without the String: one unit per
     * 1–3-byte UTF-8 sequence, two (a surrogate pair) per 4-byte sequence. */
@@ -92,12 +97,20 @@ object Featurize {
 
   /** isVerbLike on UTF-8 bytes. The suffix probes are exact on bytes: the
     * suffixes are ASCII and UTF-8 continuation bytes are always >= 0x80, so a
-    * byte-suffix match IS a char-suffix match; the >=4 length is UTF-16 units,
-    * matching String.length. */
-  def isVerbLikeU8(tok: UTF8String): Boolean =
-    isAuxU8(tok) ||
-      (utf16Length(tok) >= 4 &&
-        (tok.endsWith(SuffS) || tok.endsWith(SuffEd) || tok.endsWith(SuffIng)))
+    * byte-suffix match IS a char-suffix match (tested by direct getByte
+    * compares — UTF8String.endsWith routed through arrayEquals per call);
+    * the >=4 length is UTF-16 units, matching String.length. */
+  def isVerbLikeU8(tok: UTF8String): Boolean = {
+    if (isAuxU8(tok)) return true
+    val nb = tok.numBytes
+    if (nb < 2) return false
+    val last = tok.getByte(nb - 1)
+    val suffix =
+      last == 's' ||
+        (last == 'd' && tok.getByte(nb - 2) == 'e') ||
+        (last == 'g' && nb >= 3 && tok.getByte(nb - 2) == 'n' && tok.getByte(nb - 3) == 'i')
+    suffix && utf16Length(tok) >= 4
+  }
 
   /** Token-sequence view the featurizer hashes from: either deserialized
     * Strings (the udf/equivalence path) or raw UTF8String tokens straight off

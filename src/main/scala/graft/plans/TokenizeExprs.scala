@@ -34,15 +34,40 @@ object TokenizeRuntime {
 
   private def isBoundaryB(b: Int): Boolean = b == '.' || b == '!' || b == '?'
 
-  def sentences(s: UTF8String): ArrayData = {
+  /** Per-thread (start,end) boundary scratch: both scanners first collect
+    * byte spans here, then allocate the output array at its EXACT size —
+    * the grow-and-trim Arrays.copyOf pattern this replaces was ~10% of
+    * executor CPU (round-4 JFR: one trim copy per sentence). The runtime
+    * object is shared across executor threads, hence ThreadLocal. */
+  private val scratch = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](512)
+  }
+  private def grow(a: Array[Int]): Array[Int] = {
+    val b = java.util.Arrays.copyOf(a, a.length * 2)
+    scratch.set(b)
+    b
+  }
+
+  private def slices(s: UTF8String, bounds: Array[Int], m: Int): ArrayData = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
+    val out = new Array[AnyRef](m)
+    var k = 0
+    while (k < m) {
+      out(k) = UTF8String.fromAddress(base, off + bounds(2 * k), bounds(2 * k + 1) - bounds(2 * k))
+      k += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  def sentences(s: UTF8String): ArrayData = {
     val nb = s.numBytes
-    var out = new Array[AnyRef](8)
+    var bounds = scratch.get()
     var m = 0
     def emit(a: Int, b: Int): Unit = {
-      if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
-      out(m) = UTF8String.fromAddress(base, off + a, b - a)
+      if (2 * m == bounds.length) bounds = grow(bounds)
+      bounds(2 * m) = a
+      bounds(2 * m + 1) = b
       m += 1
     }
     var start = 0
@@ -57,7 +82,7 @@ object TokenizeRuntime {
       } else i += 1
     }
     emit(start, nb)
-    new GenericArrayData((if (m == out.length) out else java.util.Arrays.copyOf(out, m)).asInstanceOf[Array[Any]])
+    slices(s, bounds, m)
   }
 
   /** lower + token split + empty filter in one call. Lowercasing delegates to
@@ -66,10 +91,8 @@ object TokenizeRuntime {
     * filter(split(lower(sent), TokenSplitRegex), t => length(t) > 0). */
   def tokensLower(s: UTF8String): ArrayData = {
     val low = s.toLowerCase
-    val base = low.getBaseObject
-    val off = low.getBaseOffset
     val nb = low.numBytes
-    var out = new Array[AnyRef](16)
+    var bounds = scratch.get()
     var m = 0
     var start = -1
     var i = 0
@@ -90,19 +113,21 @@ object TokenizeRuntime {
       }
       if (Tokenize.isTokenCp(cp)) { if (start < 0) start = i }
       else if (start >= 0) {
-        if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
-        out(m) = UTF8String.fromAddress(base, off + start, i - start)
+        if (2 * m == bounds.length) bounds = grow(bounds)
+        bounds(2 * m) = start
+        bounds(2 * m + 1) = i
         m += 1
         start = -1
       }
       i += w
     }
     if (start >= 0) {
-      if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
-      out(m) = UTF8String.fromAddress(base, off + start, nb - start)
+      if (2 * m == bounds.length) bounds = grow(bounds)
+      bounds(2 * m) = start
+      bounds(2 * m + 1) = nb
       m += 1
     }
-    new GenericArrayData((if (m == out.length) out else java.util.Arrays.copyOf(out, m)).asInstanceOf[Array[Any]])
+    slices(low, bounds, m)
   }
 }
 

@@ -281,13 +281,26 @@ object ExtractBytes {
         emitNewline(); i += 1
       } else if (b0 == '\n') { emitNewline(); i += 1 }
       else if (b0 == ' ' || b0 == '\t') { emitSpace(); i += 1 }
-      else if (b0 == 0xC2 && i + 1 < n && (s(i + 1) & 0xFF) == 0xA0) {
-        emitSpace(); i += 2
+      else if (b0 == 0xC2) {
+        if (i + 1 < n && (s(i + 1) & 0xFF) == 0xA0) { emitSpace(); i += 2 }
+        else {
+          // 0xC2 leading a non-NBSP char: regular 2-byte char
+          emitRegularFirst(s(i))
+          if (i + 1 < n) out.add(s(i + 1))
+          i += 2
+        }
       } else {
+        // batch the whole run of regular bytes up to the next special byte:
+        // per-char state transitions after the first are identity (flags
+        // already non-pending), so one flush + one arraycopy is equivalent
         emitRegularFirst(s(i))
-        var w = charWidth(b0) - 1
-        i += 1
-        while (w > 0) { out.add(s(i)); i += 1; w -= 1 }
+        var r = i + 1
+        while (r < n && {
+          val b = s(r) & 0xFF
+          b != '&' && b != '\r' && b != '\n' && b != ' ' && b != '\t' && b != 0xC2
+        }) r += 1
+        out.addRange(s, i + 1, r)
+        i = r
       }
     }
     (out.a, out.len)
