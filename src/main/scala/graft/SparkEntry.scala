@@ -76,7 +76,13 @@ object SparkEntry {
         col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"))),
 
+    // written in the NATURAL band-join form; graft's BandJoinRule optimizer
+    // rule rewrites it into the bucketed equi-join plan automatically (the
+    // 5-min band folds into the hash key instead of riding as a residual on
+    // a potentially hot user_id) — q_join_range_bucketed below is the same
+    // rewrite done by hand, kept as the rule's readable specification
     "q_join_range" -> ((s, d) => {
+      graft.plans.BandJoinRule.install(s)
       val e = t(s, d, "events")
       val a = e.select(col("user_id").as("uid_a"), col("ts").as("ts_a"), col("event_type"))
       val b = e.select(col("user_id").as("uid_b"), col("ts").as("ts_b"))

@@ -224,8 +224,13 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("comp", col("doc_id"))
+    // Init with the first neighbor-min already folded in: comp0(v) =
+    // min(v, min(neighbors(v))). Same single shuffle a distinct() would cost
+    // (groupBy dedupes src), and it starts the loop one propagation step
+    // ahead — one fewer ~fixed-cost round at harness scale, free at scale.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("doc_id"), least(col("src"), col("mn")).as("comp"))
       .localCheckpoint()
     var converged = false
     var i = 0

@@ -83,6 +83,7 @@ object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => U
     ext.injectFunction((FunctionIdentifier("min_str"), minStrInfo, minStrBuilder))
     ext.injectFunction((FunctionIdentifier("split_sentences"), splitSentencesInfo, splitSentencesBuilder))
     ext.injectFunction((FunctionIdentifier("tokenize_lower"), tokenizeLowerInfo, tokenizeLowerBuilder))
+    ext.injectOptimizerRule(_ => BandJoinRule)
   }
 
   /** Idempotent runtime registration into the session's function registry. */
