@@ -230,6 +230,33 @@ object SparkEntry {
           explode(transform_values(map_filter(col("m"), (_, v) => v >= 3),
             (_, v) => v * 10L)).as(Seq("event_type", "score")))
     }),
+    // relational PIVOT with an explicit value list — plans as ONE hash
+    // aggregation with conditional partial aggregates (map-side combine, one
+    // shuffle); the open-ended list form (which needs a distinct-values job
+    // first) is deliberately not used: at scale the pivot domain must be
+    // declared, not discovered
+    "q_pivot" -> ((s, d) => t(s, d, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .select(col("user_id"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("view"), lit(0L)).as("n_view"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("error"), lit(0L)).as("n_error"))),
+
+    // deterministic hash-based sampling: the reproducible TABLESAMPLE form —
+    // sample membership is a pure function of the row key (portable md5-60
+    // here so DuckDB replays it exactly; xxhash64 at scale), so every engine,
+    // retry, and rerun draws the SAME 10% — a filter fully pushed into the
+    // scan, no RNG state, no driver coordination
+    "q_sample_hash" -> ((s, d) => t(s, d, "documents")
+      .filter(pmod(graft.ops.Portable.md5h60(col("doc_id").cast("string")),
+        lit(100L)) < 10)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("sum_chars"))),
+
     "q_date_bucket" -> ((s, d) => t(s, d, "events")
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"))),
@@ -530,6 +557,18 @@ object SparkEntry {
     "q_map_fns" ->
       ("SELECT user_id, event_type, cast(n * 10 as bigint) AS score FROM " +
         "(SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2) WHERE n >= 3"),
+    "q_pivot" ->
+      ("SELECT user_id, " +
+        "cast(count(*) FILTER (WHERE event_type = 'click') as bigint) AS n_click, " +
+        "cast(count(*) FILTER (WHERE event_type = 'view') as bigint) AS n_view, " +
+        "cast(count(*) FILTER (WHERE event_type = 'purchase') as bigint) AS n_purchase, " +
+        "cast(count(*) FILTER (WHERE event_type = 'signup') as bigint) AS n_signup, " +
+        "cast(count(*) FILTER (WHERE event_type = 'error') as bigint) AS n_error " +
+        "FROM events GROUP BY user_id"),
+    "q_sample_hash" ->
+      ("SELECT lang, count(*) AS n, cast(sum(n_chars) as bigint) AS sum_chars FROM documents " +
+        s"WHERE ${graft.ops.Portable.md5h60Sql("cast(doc_id as VARCHAR)")} % 100 < 10 " +
+        "GROUP BY lang"),
     "q_fingerprint" -> TextStats.fingerprintOracleSql(k = 8, window = 4,
       filterSql = "AND doc_id % 5 = 0"),
     "q_embed_lsh_topk" ->

@@ -33,6 +33,32 @@ object StreamOps {
   def dedupStream(events: DataFrame, lateness: String = "5 minutes"): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream INTERVAL join — the streaming twin of the
+    * batch band join (which `BandJoinRule` rewrites to a bucketed equi-join):
+    * each left event pairs with the right events of the same user whose
+    * timestamp falls in `(l_ts - bandSec, l_ts]`. Both sides carry
+    * watermarks and the time-range condition is two explicit bounds on the
+    * event-time columns, which is exactly what the engine needs to compute a
+    * state-eviction horizon: right-side state older than
+    * watermark - bandSec is dropped, so state stays bounded at scale
+    * (an unbounded-condition stream join would grow state forever and is
+    * rejected in append mode). Inputs need (user_id, ts, event_id) columns;
+    * output is one row per in-band pair. */
+  def intervalJoin(left: DataFrame, right: DataFrame, bandSec: Long,
+                   lateness: String = "1 minute"): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+        col("event_id").as("l_event"))
+      .withWatermark("l_ts", lateness)
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_event"))
+      .withWatermark("r_ts", lateness)
+    l.join(r, col("l_user") === col("r_user") &&
+      col("r_ts") <= col("l_ts") &&
+      col("r_ts") > col("l_ts") - expr(s"INTERVAL $bandSec SECONDS"))
+      .select(col("l_user").as("user_id"), col("l_event"), col("r_event"),
+        col("l_ts"), col("r_ts"))
+  }
+
   /** Built-in session windows: per-user gap-based sessions via the native
     * `session_window` aggregation (state managed by the engine; merging
     * windows handled internally). The declarative twin of [[sessionize]] —

@@ -213,4 +213,34 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
         s"open session must close unchanged: ${emitted()}")
     } finally q.stop()
   }
+
+  test("stream-stream interval join pairs in-band events, bounded by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[(Long, Timestamp, Long)]
+    val r = MemoryStream[(Long, Timestamp, Long)]
+    def ev(in: MemoryStream[(Long, Timestamp, Long)]) =
+      in.toDF().toDF("event_id", "ts", "user_id")
+
+    // 5-minute band: left at :10 pairs with right in (:05, :10]
+    val q = StreamOps.intervalJoin(ev(l), ev(r), bandSec = 300, lateness = "1 minute")
+      .writeStream.format("memory").queryName("band_join").outputMode("append").start()
+    try {
+      // user 1: rights at :06 (in band), :10 (boundary, in), :04 (out), :11 (after, out)
+      r.addData((101L, ts(6), 1L), (102L, ts(10), 1L), (103L, ts(4), 1L), (104L, ts(11), 1L))
+      // user 2: right in band but different user than the left event below
+      r.addData((105L, ts(7), 2L))
+      l.addData((201L, ts(10), 1L))
+      q.processAllAvailable()
+      // cross-batch: a later left event still pairs with earlier right state
+      l.addData((202L, ts(12), 1L))
+      q.processAllAvailable()
+      val pairs = spark.table("band_join").select("l_event", "r_event")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(pairs == Set((201L, 101L), (201L, 102L), (202L, 102L), (202L, 104L)),
+        s"in-band pairs wrong: $pairs")
+      assert(spark.table("band_join").schema.fieldNames.sameElements(
+        Seq("user_id", "l_event", "r_event", "l_ts", "r_ts")))
+    } finally q.stop()
+  }
 }
