@@ -10,6 +10,13 @@ clean-window pairs per the protocol in BENCH/BASELINE.md:
               contention inflates cycles for the same work, so an
               inflated-work leg means the window was slow even when steal
               and iowait read zero
+          and NO co-runner: system-wide busy_cores during every run stays
+              within the leg's own cpu budget plus a small GC/OS allowance
+              (cpus + max(0.5, 0.15*cpus)) — busy_cores is whole-host, so
+              anything above the leg's budget is another process stealing
+              the window (the floor band can't catch this when a thread
+              count appears only once in the log: its floor is then its
+              own contaminated work and the band reads 1.00)
           and eff = (t_small / t_big) / 4 >= 0.8
 
 usage: scaling_accept.py [logFile]
@@ -74,12 +81,15 @@ def main(path: str) -> int:
         wm_b = min(r["busy_cores"] * r["sec"] for r in p[big])
         wm_s = min(r["busy_cores"] * r["sec"] for r in p[small])
         cpu_eff = wm_s / wm_b if wm_b > 0 else float("nan")
-        clean = steal < 0.5 and band <= BAND
+        # co-runner check: whole-host busy must fit the leg's cpu budget
+        corun = max(r["busy_cores"] - (c + max(0.5, 0.15 * c))
+                    for c in (small, big) for r in p[c])
+        clean = steal < 0.5 and band <= BAND and corun <= 0
         ok = clean and eff_med >= 0.8
         print(f"pair {pair[0]}.{pair[1]:<3d} [{small}->{big}]: t{big}_med={mb:7.1f}s "
               f"t{small}_med={ms:7.1f}s eff_med={eff_med:.2f} eff_best={eff_best:.2f} "
               f"cpu_eff={cpu_eff:.2f} steal_max={steal:.1f} iow_max={iow:.1f} "
-              f"band={band:.2f} "
+              f"band={band:.2f} corun={max(corun, 0.0):.1f} "
               f"{'ACCEPT' if ok else ('clean' if clean else 'contended')}")
         if ok:
             accepted.append((pair, small, big, mb, ms, eff_med))
