@@ -200,6 +200,24 @@ object SparkEntry {
       .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
       .limit(10)),
 
+    // exact grouped percentiles (p25/p50/p75 of doc length per lang) via ONE
+    // per-group window sort: positions are pure integer arithmetic on the
+    // group count (rank = ceil(n*p/100) = (n*p + 99) div 100), so
+    // the result is a real row, integer-exact across engines — no
+    // interpolation, no float quantile definition to match. One shuffle on
+    // the group key; for sketch-tolerant one-pass scans at 100 TB,
+    // approx_percentile is the alternative (cf. q_agg_approx), and a group
+    // too large for one task's sort calls for two-pass count-then-select.
+    // Tie-break on doc_id keeps the selected row deterministic.
+    "q_quantile_group" -> ((s, d) => t(s, d, "documents")
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .withColumn("pct",
+        explode(expr("filter(array(25L, 50L, 75L), p -> rn = (n * p + 99) div 100)")))
+      .select(col("lang"), col("pct"), col("n_chars").cast("long").as("chars"))),
+
     "q_set_except" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       li.filter(col("l_quantity") >= 48).select(col("l_orderkey")).distinct()
@@ -483,6 +501,12 @@ object SparkEntry {
         "FROM events"),
     "q_topk" ->
       "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10",
+    "q_quantile_group" ->
+      ("SELECT lang, cast(p AS bigint) AS pct, cast(n_chars AS bigint) AS chars FROM " +
+        "(SELECT lang, n_chars, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY lang) AS n FROM documents) " +
+        "CROSS JOIN (VALUES (25), (50), (75)) v(p) WHERE rn = (n * p + 99) // 100"),
     "q_set_except" ->
       ("SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 48 " +
         "EXCEPT SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'"),
