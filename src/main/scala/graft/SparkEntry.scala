@@ -248,27 +248,27 @@ object SparkEntry {
           explode(transform_values(map_filter(col("m"), (_, v) => v >= 3),
             (_, v) => v * 10L)).as(Seq("event_type", "score")))
     }),
-    // relational PIVOT with an explicit value list — plans as ONE hash
-    // aggregation with conditional partial aggregates (map-side combine, one
-    // shuffle); the open-ended list form (which needs a distinct-values job
-    // first) is deliberately not used: at scale the pivot domain must be
-    // declared, not discovered
+    // relational PIVOT with a declared value list, expressed as conditional
+    // aggregation — ONE hash aggregation, map-side partials, one shuffle on
+    // the group key. Measured (PlanAuditSpec): the built-in
+    // `.pivot(col, values)` plans TWO exchanges even with an explicit value
+    // list (a pre-aggregate on (key, pivot_col) then pivotfirst on key), so
+    // count(when(...)) per declared value is the at-scale pivot form; the
+    // open-ended pivot (extra distinct-values JOB) is doubly rejected —
+    // at 100 TB the pivot domain must be declared, not discovered
     "q_pivot" -> ((s, d) => t(s, d, "events")
       .groupBy(col("user_id"))
-      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
-      .agg(count(lit(1)))
-      .select(col("user_id"),
-        coalesce(col("click"), lit(0L)).as("n_click"),
-        coalesce(col("view"), lit(0L)).as("n_view"),
-        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
-        coalesce(col("signup"), lit(0L)).as("n_signup"),
-        coalesce(col("error"), lit(0L)).as("n_error"))),
+      .agg(count(when(col("event_type") === "click", 1)).as("n_click"),
+        Seq("view", "purchase", "signup", "error").map(v =>
+          count(when(col("event_type") === v, 1)).as(s"n_$v")): _*)),
 
     // deterministic hash-based sampling: the reproducible TABLESAMPLE form —
     // sample membership is a pure function of the row key (portable md5-60
     // here so DuckDB replays it exactly; xxhash64 at scale), so every engine,
-    // retry, and rerun draws the SAME 10% — a filter fully pushed into the
-    // scan, no RNG state, no driver coordination
+    // retry, and rerun draws the SAME 10%. The hash predicate cannot reach
+    // parquet PushedFilters (not a column comparison) but it runs inside the
+    // scan's codegen stage, before any shuffle — 90% of rows never leave
+    // their input partition; no RNG state, no driver coordination
     "q_sample_hash" -> ((s, d) => t(s, d, "documents")
       .filter(pmod(graft.ops.Portable.md5h60(col("doc_id").cast("string")),
         lit(100L)) < 10)

@@ -133,6 +133,33 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("pivot / hash-sample / grouped-quantile plan their intended shapes") {
+    // q_pivot (conditional-aggregate pivot): ONE shuffle. The built-in
+    // .pivot(col, values) was measured to plan TWO exchanges even with an
+    // explicit value list (pre-aggregate on (key, pivot_col) + pivotfirst),
+    // which is why q_pivot uses count(when(...)) per declared value
+    val p = formatted(SparkEntry.queries("q_pivot")(spark, sfDir))
+    assert("Exchange".r.findAllIn(p).length == 1, s"pivot must shuffle once:\n$p")
+    assert(p.contains("HashAggregate"), p)
+
+    // q_sample_hash: the hash-sample predicate runs as a Filter in the scan
+    // stage, BELOW the single aggregation exchange — 90% of rows are dropped
+    // before they can be shuffled
+    val s = formatted(SparkEntry.queries("q_sample_hash")(spark, sfDir))
+    assert("Exchange".r.findAllIn(s).length == 1, s"sample must shuffle once:\n$s")
+    val lines = s.linesIterator.toVector
+    val exIdx = lines.indexWhere(_.contains("Exchange"))
+    val fIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("md5"))
+    assert(exIdx >= 0 && fIdx > exIdx, // tree prints parents above children
+      s"sample filter must sit below the exchange (pre-shuffle):\n$s")
+
+    // q_quantile_group: both windows share ONE hash-partitioning exchange on
+    // the group key (row_number and count partition identically)
+    val q = formatted(SparkEntry.queries("q_quantile_group")(spark, sfDir))
+    assert("Exchange".r.findAllIn(q).length == 1, s"quantile must shuffle once:\n$q")
+    assert(q.contains("Window"), q)
+  }
 }
 
 /** Shared broadcast model for plan audits (built once, in-memory). */
