@@ -64,14 +64,14 @@ object Featurize {
   private def isAuxU8(t: UTF8String): Boolean = {
     val nb = t.numBytes
     if (nb < 2 || nb > AuxMaxBytes) return false
-    var v = 0L
-    var i = 0
-    while (i < nb) {
-      val b = t.getByte(i) & 0xFF
-      if (b >= 0x80) return false // aux verbs are pure ASCII
-      v = (v << 8) | b
-      i += 1
-    }
+    // getPrefix = first <= 8 bytes big-endian, zero-padded low (one unaligned
+    // load) — so the byte-packing loop collapses to a shift, and the
+    // pure-ASCII guard to one mask test (any byte >= 0x80 sets its high bit;
+    // the zero padding never does). Packing identical to the loop it
+    // replaces (RelationsGenSpec property-pins vs AuxVerbs membership).
+    val p = t.getPrefix
+    if ((p & 0x8080808080808080L) != 0L) return false // aux verbs are pure ASCII
+    val v = p >>> ((8 - nb) << 3)
     var idx = ((v * 0x9E3779B97F4A7C15L) >>> (64 - AuxTableBits)).toInt
     while (AuxTable(idx) != 0L) {
       if (AuxTable(idx) == v) return true
@@ -130,7 +130,23 @@ object Featurize {
   final class U8Toks(ts: Array[UTF8String]) extends TokenVec {
     def length: Int = ts.length
     def feed(sh: StreamHash, i: Int): StreamHash = sh.feedUtf8(ts(i))
-    def verbLike(i: Int): Boolean = isVerbLikeU8(ts(i))
+    // verbLike is pure per token, but the dep-chain walk re-asks it per
+    // ordered pair over the same window (2 ordered pairs even for the common
+    // 2-mention sentence) — memoize per position, allocated lazily so
+    // sentences that never reach a dep walk pay nothing (isAuxU8 was 8% of
+    // executor CPU in the round-4 JFR, half of it repeat calls)
+    private var vb: Array[Byte] = _
+    def verbLike(i: Int): Boolean = {
+      var c = vb
+      if (c == null) { c = new Array[Byte](ts.length); vb = c }
+      val v = c(i)
+      if (v != 0) v == 1
+      else {
+        val r = isVerbLikeU8(ts(i))
+        c(i) = if (r) 1 else 2
+        r
+      }
+    }
   }
 
   /** Raw (pre-hash) feature strings for an ordered candidate (m1, m2) in a

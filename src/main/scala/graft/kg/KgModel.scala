@@ -55,14 +55,34 @@ final class KgModel(
     if (v != null) v else UTF8String.fromString(s)
   }
 
+  /** Per-thread scan/score scratch buffers, cleared per sentence. The
+    * round-4 allocation profile showed `ArrayBuffer.empty` here as the top
+    * two Object[] churn sites (~12 GB/run at sf8): one fresh 16-slot backing
+    * array per sentence for mentions and one per multi-mention sentence for
+    * relations, each dead before the generator's eval returns. Both results
+    * are consumed eagerly on the calling thread (scoreRelationsTv drains the
+    * mention buffer; RelationsGenExpr/scoreRelations drain or copy the
+    * relation buffer) — never retained across calls, so reuse is safe. */
+  @transient private lazy val mentionScratch =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[Mention]] {
+      override def initialValue() = new scala.collection.mutable.ArrayBuffer[Mention](16)
+    }
+  @transient private lazy val relationScratch =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[ScoredRelation]] {
+      override def initialValue() = new scala.collection.mutable.ArrayBuffer[ScoredRelation](16)
+    }
+
   /** [[scanMentions]] on raw UTF8String tokens — identical greedy semantics
     * over the one-probe [[TokenDict]] (RelationsGenSpec asserts equality):
     * at each position ONE hash+probe answers bigram-head and unigram at
-    * once; the returned buffer is handed to the scorer without an
-    * immutable-copy round (it never escapes the generator's eval). */
+    * once; the returned buffer is the per-thread [[mentionScratch]], handed
+    * to the scorer without an immutable-copy round and reused on the next
+    * call (it never escapes the generator's eval — callers must consume it
+    * before scanning again on the same thread). */
   def scanMentionsU8(tokens: Array[UTF8String]): scala.collection.IndexedSeq[Mention] = {
     val d = dictProbe
-    val out = scala.collection.mutable.ArrayBuffer.empty[Mention]
+    val out = mentionScratch.get()
+    out.clear()
     val n = tokens.length
     var i = 0
     while (i < n) {
@@ -148,8 +168,9 @@ final class KgModel(
 
   /** Token-representation-independent scoring core: String tokens (udf path)
     * and raw UTF8String tokens (native generator path) hash identically.
-    * Returns its build buffer directly — callers either iterate once
-    * (RelationsGenExpr) or take an immutable copy (scoreRelations). */
+    * Returns the per-thread [[relationScratch]] directly — callers either
+    * drain it before the next sentence (RelationsGenExpr) or take an
+    * immutable copy (scoreRelations' .toSeq). */
   def scoreRelationsTv(tv: Featurize.TokenVec,
                        ms: scala.collection.IndexedSeq[Mention]): scala.collection.Seq[ScoredRelation] = {
     if (ms.length < 2) return Nil
@@ -157,7 +178,8 @@ final class KgModel(
     // across many pairs; for the common 2-mention sentence direct hashing of
     // the single window is cheaper (identical ids either way)
     val session = if (ms.length >= 3) new Featurize.Session(tv) else null
-    val out = scala.collection.mutable.ArrayBuffer.empty[ScoredRelation]
+    val out = relationScratch.get()
+    out.clear()
     var a = 0
     while (a < ms.length) {
       var b = 0

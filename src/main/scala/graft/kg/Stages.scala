@@ -66,7 +66,10 @@ object Stages {
       .select(col("url"), col("part_id"),
         posexplode(graft.plans.GraftExtensions.splitSentences(col("text")))
           .as(Seq("sent_idx", "sent")))
-      .filter(length(col("sent")) > 0)
+      // octet_length is O(1) (byte count) where length() walks the string
+      // counting code points — equivalent for the > 0 emptiness test, and
+      // the walk was 3.3% of executor CPU (round-4 JFR: getNumChars)
+      .filter(octet_length(col("sent")) > 0)
 
   /** A4 variant preserving barren pages: empty sentences are filtered INSIDE
     * the array and the explode is OUTER, so a page with no sentences (null or
@@ -79,7 +82,7 @@ object Stages {
     val passthrough = pageText.columns.filterNot(_ == "text").map(col).toSeq
     pageText.select(passthrough :+
       posexplode_outer(filter(graft.plans.GraftExtensions.splitSentences(col("text")),
-        s => length(s) > 0)).as(Seq("sent_idx", "sent")): _*)
+        s => octet_length(s) > 0)).as(Seq("sent_idx", "sent")): _*)
   }
 
   /** A5 — UDF-free tokenization: one native scanner expression, kept as an
@@ -202,6 +205,24 @@ object Stages {
     * aggregation on the hash-based ObjectHashAggregate path
     * (PlanAuditSpec asserts; quantified in BENCH/BASELINE.md). */
   def partialTriples(relations: DataFrame): DataFrame =
+    relations.groupBy(col("part_id"))
+      .agg(graft.plans.GraftExtensions.triplesAgg(
+        col("subj"), col("pred"), col("obj"), col("score"), col("url")).as("ts"))
+      .select(col("part_id"), explode(col("ts")).as("t"))
+      .select(col("part_id"), col("t.subj").as("subj"), col("t.pred").as("pred"),
+        col("t.obj").as("obj"), col("t.n").as("n"), col("t.score").as("score"),
+        col("t.first_url").as("first_url"))
+
+  /** The declarative groupBy form of [[partialTriples]] — row-for-row
+    * equivalent (CanonicalizeSpec pins equality); kept as the equivalence
+    * oracle for the triples_agg path, exactly like Stages.relationsUdf twins
+    * RelationsGenExpr. The shipped path groups by part_id alone and folds the
+    * triple key into the [[graft.plans.TripleMap]] buffer: same groups, same
+    * measures, but Spark's per-row ObjectHashAggregate machinery (key
+    * UnsafeProjection + row murmur + LinkedHashMap probe + three interpreted
+    * updates — ~17% of executor CPU in the round-4 JFR) collapses to ~one
+    * group probe per partition. */
+  def partialTriplesGroupBy(relations: DataFrame): DataFrame =
     relations.groupBy(col("part_id"), col("subj"), col("pred"), col("obj"))
       .agg(count(lit(1)).as("n"), max(col("score")).as("score"),
         graft.plans.GraftExtensions.minStr(col("url")).as("first_url"))

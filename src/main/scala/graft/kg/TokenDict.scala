@@ -27,7 +27,7 @@ final class TokenDict private (
   /** Slot of `t`, or -1 when the token is neither a unigram surface nor a
     * bigram head. */
   def find(t: UTF8String): Int = {
-    var idx = t.hashCode & mask
+    var idx = TokenDict.slotHash(t) & mask
     while (true) {
       val k = keys(idx)
       if (k == null) return -1
@@ -57,6 +57,21 @@ final class TokenDict private (
 
 object TokenDict {
 
+  /** One-load slot hash: getPrefix (first <= 8 bytes, zero-padded, one
+    * unaligned read) multiply-mixed with the byte length. Replaces the
+    * O(len) murmur UTF8String.hashCode on the probe path — the A6 scan
+    * probes EVERY token of every sentence and almost always misses, and
+    * that murmur was the bulk of scanMentionsU8's 8.8% of executor CPU
+    * (round-4 JFR). At load <= 0.25 a miss still usually ends on the first
+    * empty slot; tokens sharing an 8-byte prefix AND length chain linearly,
+    * which equals() resolves exactly. Same function at build and probe time
+    * (the table is rebuilt per JVM, never serialized, so the hash never has
+    * to be stable across JVMs). */
+  private[kg] def slotHash(t: UTF8String): Int = {
+    val x = (t.getPrefix ^ (t.numBytes.toLong * 0xC2B2AE3D27D4EB4FL)) * 0x9E3779B97F4A7C15L
+    (x >>> 32).toInt
+  }
+
   /** Build from the model's String-keyed maps (driver or executor side; the
     * probe itself is rebuilt lazily per JVM, never serialized). */
   def build(uni: Map[String, DictEntry],
@@ -71,7 +86,7 @@ object TokenDict {
     val biV = new Array[Array[DictEntry]](cap)
     heads.foreach { h =>
       val k = UTF8String.fromString(h)
-      var idx = k.hashCode & mask
+      var idx = slotHash(k) & mask
       while (keys(idx) != null) idx = (idx + 1) & mask
       keys(idx) = k
       uniV(idx) = uni.getOrElse(h, null)

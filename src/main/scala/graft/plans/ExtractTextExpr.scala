@@ -62,6 +62,15 @@ object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => U
     StringMinAgg(args.head)
   }
 
+  private val triplesAggInfo = new ExpressionInfo(
+    classOf[TriplesMapAgg].getName, "triples_agg")
+
+  private val triplesAggBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 5,
+      "triples_agg(subj, pred, obj, score, url) takes exactly five arguments")
+    TriplesMapAgg(args(0), args(1), args(2), args(3), args(4))
+  }
+
   private val splitSentencesInfo = new ExpressionInfo(
     classOf[SplitSentencesExpr].getName, "split_sentences")
 
@@ -81,6 +90,7 @@ object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => U
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("extract_text"), extractTextInfo, builder))
     ext.injectFunction((FunctionIdentifier("min_str"), minStrInfo, minStrBuilder))
+    ext.injectFunction((FunctionIdentifier("triples_agg"), triplesAggInfo, triplesAggBuilder))
     ext.injectFunction((FunctionIdentifier("split_sentences"), splitSentencesInfo, splitSentencesBuilder))
     ext.injectFunction((FunctionIdentifier("tokenize_lower"), tokenizeLowerInfo, tokenizeLowerBuilder))
     ext.injectOptimizerRule(_ => BandJoinRule)
@@ -92,6 +102,8 @@ object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => U
       "extract_text", builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "min_str", minStrBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "triples_agg", triplesAggBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "split_sentences", splitSentencesBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -108,6 +120,13 @@ object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => U
   def minStr(c: Column): Column = {
     SparkSession.active.synchronized(register(SparkSession.active))
     call_function("min_str", c)
+  }
+
+  /** Column-API handle for the per-group triple-canonicalization aggregate. */
+  def triplesAgg(subj: Column, pred: Column, obj: Column,
+                 score: Column, url: Column): Column = {
+    SparkSession.active.synchronized(register(SparkSession.active))
+    call_function("triples_agg", subj, pred, obj, score, url)
   }
 
   /** Column-API handle for the native sentence splitter. */

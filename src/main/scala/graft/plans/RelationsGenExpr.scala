@@ -65,12 +65,22 @@ case class RelationsGenExpr(
         s"relations_gen requires (array<string>, boolean, boolean), got $other")
   }
 
+  /** Per-thread emitted-rows scratch: GenerateExec drains each eval's result
+    * before the next input row on the same thread (flatMap semantics), so the
+    * container — NOT the emitted rows, which downstream operators own — is
+    * reusable. A fresh ArrayBuffer per page was one of the top Object[]
+    * allocation sites in the round-4 profile. */
+  @transient private lazy val outScratch = new ThreadLocal[ArrayBuffer[InternalRow]] {
+    override def initialValue() = new ArrayBuffer[InternalRow](8)
+  }
+
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val m = model.value
     val arr = tokens.eval(input).asInstanceOf[ArrayData]
     val anc = { val v = anchor.eval(input); v != null && v.asInstanceOf[Boolean] }
     val ins = { val v = inScope.eval(input); v != null && v.asInstanceOf[Boolean] }
-    val out = new ArrayBuffer[InternalRow](4)
+    val out = outScratch.get()
+    out.clear()
     if (arr != null && ins) {
       val n = arr.numElements()
       val toks = new Array[UTF8String](n)

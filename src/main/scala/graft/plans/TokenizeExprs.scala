@@ -99,8 +99,12 @@ object TokenizeRuntime {
     while (i < nb) {
       val b0 = low.getByte(i) & 0xFF
       var w = 1
-      var cp = b0
-      if (b0 >= 0x80) {
+      var isTok = false
+      if (b0 < 0x80) {
+        // ASCII fast path: table lookup, no code-point decode
+        isTok = Tokenize.AsciiTokenCp(b0)
+      } else {
+        var cp = b0
         if (b0 < 0xE0) {
           w = 2; cp = ((b0 & 0x1F) << 6) | (low.getByte(i + 1) & 0x3F)
         } else if (b0 < 0xF0) {
@@ -110,8 +114,9 @@ object TokenizeRuntime {
           w = 4; cp = ((b0 & 0x07) << 18) | ((low.getByte(i + 1) & 0x3F) << 12) |
             ((low.getByte(i + 2) & 0x3F) << 6) | (low.getByte(i + 3) & 0x3F)
         }
+        isTok = Tokenize.isTokenCp(cp)
       }
-      if (Tokenize.isTokenCp(cp)) { if (start < 0) start = i }
+      if (isTok) { if (start < 0) start = i }
       else if (start >= 0) {
         if (2 * m == bounds.length) bounds = grow(bounds)
         bounds(2 * m) = start

@@ -124,6 +124,15 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
       .agg(max($"salt_groups")).first().getLong(0)
     assert(hotSpread > 1,
       s"hottest triple key must spread over >1 phase-1 group (got $hotSpread)")
+    // triples_agg (shipped phase 1: one TripleMap buffer per part_id) emits
+    // row-for-row the groupBy form's output — including the null-subj lineage
+    // marker rows when present (none here; LineageSpec covers that flow)
+    val mapForm = Stages.partialTriples(rels)
+      .select($"part_id", $"subj", $"pred", $"obj", $"n", $"score", $"first_url")
+    val groupByForm = Stages.partialTriplesGroupBy(rels)
+      .select($"part_id", $"subj", $"pred", $"obj", $"n", $"score", $"first_url")
+    assert(mapForm.exceptAll(groupByForm).isEmpty &&
+      groupByForm.exceptAll(mapForm).isEmpty)
     rels.unpersist()
   }
 

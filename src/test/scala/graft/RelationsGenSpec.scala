@@ -78,6 +78,29 @@ class RelationsGenSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("isVerbLikeU8 == isVerbLike under fuzz (pins the getPrefix aux packing)") {
+    // every aux verb, plus mutations and random short tokens — covers each
+    // length 2..6, the high-bit ASCII guard, and the zero-pad shift
+    val aux = Seq("is", "are", "was", "were", "be", "been", "has", "have", "had",
+      "may", "can", "could", "might", "must", "should", "would", "will", "does", "did")
+    val rng = new SplitMix64(0xA0B1C2L)
+    val chars = "abcdefghijklmnopqrstuvwxyzé漢0".toCharArray
+    val cases = aux ++ aux.map(_ + "x") ++ aux.map(_.dropRight(1)) ++ aux.map("é" + _) ++
+      (1 to 3000).map { _ =>
+        (0 until rng.nextInt(9)).map(_ => chars(rng.nextInt(chars.length))).mkString
+      }
+    cases.foreach { w =>
+      assert(Featurize.isVerbLikeU8(UTF8String.fromString(w)) == Featurize.isVerbLike(w), s"'$w'")
+    }
+    // the U8 probe must also hold on a non-zero-offset slice (getPrefix reads
+    // base+offset, not byte 0): probe every aux verb embedded mid-buffer
+    aux.foreach { w =>
+      val buf = UTF8String.fromString("zz" + w + "zz")
+      val slice = buf.substring(2, 2 + w.length)
+      assert(Featurize.isVerbLikeU8(slice), s"slice '$w'")
+    }
+  }
+
   test("pairIds == ids on String and U8 tokens under fuzzed spans") {
     val rng = new SplitMix64(0x9A1ED5L)
     val words = Vector("alpha", "is", "beta", "binds", "to", "gamma", "was", "漢ed")
