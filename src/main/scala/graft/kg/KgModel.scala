@@ -55,22 +55,7 @@ final class KgModel(
     if (v != null) v else UTF8String.fromString(s)
   }
 
-  /** Per-thread scan/score scratch buffers, cleared per sentence. The
-    * round-4 allocation profile showed `ArrayBuffer.empty` here as the top
-    * two Object[] churn sites (~12 GB/run at sf8): one fresh 16-slot backing
-    * array per sentence for mentions and one per multi-mention sentence for
-    * relations, each dead before the generator's eval returns. Both results
-    * are consumed eagerly on the calling thread (scoreRelationsTv drains the
-    * mention buffer; RelationsGenExpr/scoreRelations drain or copy the
-    * relation buffer) — never retained across calls, so reuse is safe. */
-  @transient private lazy val mentionScratch =
-    new ThreadLocal[scala.collection.mutable.ArrayBuffer[Mention]] {
-      override def initialValue() = new scala.collection.mutable.ArrayBuffer[Mention](16)
-    }
-  @transient private lazy val relationScratch =
-    new ThreadLocal[scala.collection.mutable.ArrayBuffer[ScoredRelation]] {
-      override def initialValue() = new scala.collection.mutable.ArrayBuffer[ScoredRelation](16)
-    }
+  import KgModel.{mentionScratch, relationScratch}
 
   /** [[scanMentions]] on raw UTF8String tokens — identical greedy semantics
     * over the one-probe [[TokenDict]] (RelationsGenSpec asserts equality):
@@ -229,6 +214,25 @@ final class KgModel(
 }
 
 object KgModel {
+
+  /** Per-thread scan/score scratch buffers, cleared per sentence. The
+    * round-4 allocation profile showed `ArrayBuffer.empty` in the scan/score
+    * entry points as the top two Object[] churn sites (~12 GB/run at sf8):
+    * one fresh backing array per sentence, dead before the generator's eval
+    * returns. Both results are consumed eagerly on the calling thread
+    * (scoreRelationsTv drains the mention buffer; RelationsGenExpr /
+    * scoreRelations drain or copy the relation buffer) — never retained
+    * across calls, so per-thread reuse is safe. STATIC (companion, one
+    * ThreadLocal per JVM) — see RelationsGenExpr.outScratch for the measured
+    * per-instance-ThreadLocal failure mode this avoids. */
+  private val mentionScratch =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[Mention]] {
+      override def initialValue() = new scala.collection.mutable.ArrayBuffer[Mention](16)
+    }
+  private val relationScratch =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[ScoredRelation]] {
+      override def initialValue() = new scala.collection.mutable.ArrayBuffer[ScoredRelation](16)
+    }
 
   /** Build + broadcast a model from in-memory rows (no I/O). */
   def fromData(spark: SparkSession, dict: Seq[DictEntry], preds0: Seq[Predicate],

@@ -65,21 +65,12 @@ case class RelationsGenExpr(
         s"relations_gen requires (array<string>, boolean, boolean), got $other")
   }
 
-  /** Per-thread emitted-rows scratch: GenerateExec drains each eval's result
-    * before the next input row on the same thread (flatMap semantics), so the
-    * container — NOT the emitted rows, which downstream operators own — is
-    * reusable. A fresh ArrayBuffer per page was one of the top Object[]
-    * allocation sites in the round-4 profile. */
-  @transient private lazy val outScratch = new ThreadLocal[ArrayBuffer[InternalRow]] {
-    override def initialValue() = new ArrayBuffer[InternalRow](8)
-  }
-
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val m = model.value
     val arr = tokens.eval(input).asInstanceOf[ArrayData]
     val anc = { val v = anchor.eval(input); v != null && v.asInstanceOf[Boolean] }
     val ins = { val v = inScope.eval(input); v != null && v.asInstanceOf[Boolean] }
-    val out = outScratch.get()
+    val out = RelationsGenExpr.outScratch.get()
     out.clear()
     if (arr != null && ins) {
       val n = arr.numElements()
@@ -112,6 +103,21 @@ case class RelationsGenExpr(
 }
 
 object RelationsGenExpr {
+
+  /** Per-thread emitted-rows scratch: GenerateExec drains each eval's result
+    * before the next input row on the same thread (flatMap semantics), so the
+    * container — NOT the emitted rows, which downstream operators own — is
+    * reusable. A fresh ArrayBuffer per page was one of the top Object[]
+    * allocation sites in the round-4 profile. STATIC on purpose: expression
+    * instances are deserialized per task, and a per-instance ThreadLocal
+    * sprays one dead ThreadLocalMap entry per task into every long-lived
+    * worker thread — the resulting probe degradation (setInitialValue +
+    * getEntryAfterMiss ~8% of executor CPU) was measured before this was
+    * hoisted to the companion. */
+  private val outScratch = new ThreadLocal[ArrayBuffer[InternalRow]] {
+    override def initialValue() = new ArrayBuffer[InternalRow](8)
+  }
+
   private val Schema = StructType(Seq(
     StructField("subj", StringType, nullable = true),
     StructField("pred", StringType, nullable = false),

@@ -85,11 +85,57 @@ object TokenizeRuntime {
     slices(s, bounds, m)
   }
 
-  /** lower + token split + empty filter in one call. Lowercasing delegates to
-    * UTF8String.toLowerCase — the SAME call Spark's Lower makes for the
-    * default collation — so the composite stays bit-identical to
-    * filter(split(lower(sent), TokenSplitRegex), t => length(t) > 0). */
+  /** lower + token split + empty filter in one call, bit-identical to
+    * filter(split(lower(sent), TokenSplitRegex), t => length(t) > 0)
+    * (TokenizeEquivalenceSpec fuzzes both paths against the regex form).
+    *
+    * Pure-ASCII sentences — the overwhelming webtext case — take a fused
+    * single pass: lowercase (A–Z + 32, exactly UTF8String.toLowerCase's
+    * result for full-ASCII input) and token classification stream through
+    * the bytes once into one output buffer, instead of toLowerCase's
+    * separate scan+copy followed by our scan (the two-pass form plus its
+    * per-char Character.toLowerCase dispatch was ~3% of executor CPU in the
+    * round-4 JFR). Any byte >= 0x80 aborts to the generic path, which
+    * delegates to UTF8String.toLowerCase — the SAME call Spark's Lower
+    * makes for the default collation. */
   def tokensLower(s: UTF8String): ArrayData = {
+    val nb = s.numBytes
+    val buf = new Array[Byte](nb)
+    var bounds = scratch.get()
+    var m = 0
+    var start = -1
+    var i = 0
+    while (i < nb) {
+      val b0 = s.getByte(i) & 0xFF
+      if (b0 >= 0x80) return tokensLowerGeneric(s) // non-ASCII: generic path
+      val lb = if (b0 >= 'A' && b0 <= 'Z') b0 + 32 else b0
+      buf(i) = lb.toByte
+      if (Tokenize.AsciiTokenCp(lb)) { if (start < 0) start = i }
+      else if (start >= 0) {
+        if (2 * m == bounds.length) bounds = grow(bounds)
+        bounds(2 * m) = start
+        bounds(2 * m + 1) = i
+        m += 1
+        start = -1
+      }
+      i += 1
+    }
+    if (start >= 0) {
+      if (2 * m == bounds.length) bounds = grow(bounds)
+      bounds(2 * m) = start
+      bounds(2 * m + 1) = nb
+      m += 1
+    }
+    val out = new Array[AnyRef](m)
+    var k = 0
+    while (k < m) {
+      out(k) = UTF8String.fromBytes(buf, bounds(2 * k), bounds(2 * k + 1) - bounds(2 * k))
+      k += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  private def tokensLowerGeneric(s: UTF8String): ArrayData = {
     val low = s.toLowerCase
     val nb = low.numBytes
     var bounds = scratch.get()

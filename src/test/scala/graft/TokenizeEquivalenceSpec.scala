@@ -59,6 +59,28 @@ class TokenizeEquivalenceSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("tokensLower fused-ASCII fast path == UTF8String.toLowerCase + regex reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rng = new SplitMix64(0x70CA5EL)
+    // ASCII-heavy (exercises the fused single-pass path, incl. uppercase);
+    // every 4th trial mixes in multi-byte chars at random positions so the
+    // mid-string abort-to-generic boundary is hit with partial scratch state
+    val ascii = "AB cD.e!F?g\t9_-&;Zqr"
+    val mixed = ascii + "Üé漢𝔘"
+    for (trial <- 1 to 4000) {
+      val alpha = if (trial % 4 == 0) mixed else ascii
+      val cps = alpha.codePoints().toArray
+      val sb = new java.lang.StringBuilder()
+      (0 until rng.nextInt(50)).foreach(_ => sb.appendCodePoint(cps(rng.nextInt(cps.length))))
+      val s = sb.toString
+      val got = graft.plans.TokenizeRuntime.tokensLower(UTF8String.fromString(s))
+      val gotSeq = (0 until got.numElements()).map(i => got.getUTF8String(i).toString)
+      val ref = refTokens(UTF8String.fromString(s).toLowerCase.toString)
+      assert(gotSeq == ref,
+        s"divergence on ${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
   test("Spark level: native A4/A5 expressions == built-in composites on fixture pages") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
