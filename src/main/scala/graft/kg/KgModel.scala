@@ -60,14 +60,16 @@ final class KgModel(
   /** [[scanMentions]] on raw UTF8String tokens — identical greedy semantics
     * over the one-probe [[TokenDict]] (RelationsGenSpec asserts equality):
     * at each position ONE hash+probe answers bigram-head and unigram at
-    * once; the returned buffer is the per-thread [[mentionScratch]], handed
-    * to the scorer without an immutable-copy round and reused on the next
-    * call (it never escapes the generator's eval — callers must consume it
-    * before scanning again on the same thread). */
+    * once; the result is a [[KgModel.ScratchView]] over the per-thread
+    * [[mentionScratch]], handed to the scorer without an immutable-copy
+    * round and reused on the next call. The consume-before-next-scan
+    * invariant is ENFORCED: a retained view throws on access after the next
+    * call on the same thread (RelationsGenSpec pins this). */
   def scanMentionsU8(tokens: Array[UTF8String]): scala.collection.IndexedSeq[Mention] = {
     val d = dictProbe
-    val out = mentionScratch.get()
-    out.clear()
+    val scratch = mentionScratch.get()
+    val view = scratch.begin()
+    val out = scratch.buf
     val n = tokens.length
     var i = 0
     while (i < n) {
@@ -91,7 +93,7 @@ final class KgModel(
       }
       if (!matched) i += 1
     }
-    out
+    view
   }
 
   /** Bucket-major transpose of the weight matrix, built once per executor
@@ -147,15 +149,20 @@ final class KgModel(
 
   /** Score every ordered, span-disjoint mention pair; emit the argmax
     * predicate when its score clears tau (ties broken by predicate order —
-    * deterministic). One relation max per ordered pair. */
+    * deterministic). One relation max per ordered pair. This wrapper copies
+    * the per-thread scratch result (`.toSeq`), so ITS return value is safe
+    * to retain; the underlying [[scoreRelationsTv]] result is not — see its
+    * scaladoc. */
   def scoreRelations(tokens: scala.collection.IndexedSeq[String], ms: IndexedSeq[Mention]): Seq[ScoredRelation] =
     scoreRelationsTv(new Featurize.StrToks(tokens), ms).toSeq
 
   /** Token-representation-independent scoring core: String tokens (udf path)
     * and raw UTF8String tokens (native generator path) hash identically.
-    * Returns the per-thread [[relationScratch]] directly — callers either
-    * drain it before the next sentence (RelationsGenExpr) or take an
-    * immutable copy (scoreRelations' .toSeq). */
+    * Returns a [[KgModel.ScratchView]] over the per-thread
+    * [[relationScratch]] — callers either drain it before the next sentence
+    * (RelationsGenExpr) or take an immutable copy (scoreRelations' .toSeq);
+    * a view retained across a later call on the same thread throws on
+    * access. */
   def scoreRelationsTv(tv: Featurize.TokenVec,
                        ms: scala.collection.IndexedSeq[Mention]): scala.collection.Seq[ScoredRelation] = {
     if (ms.length < 2) return Nil
@@ -163,8 +170,9 @@ final class KgModel(
     // across many pairs; for the common 2-mention sentence direct hashing of
     // the single window is cheaper (identical ids either way)
     val session = if (ms.length >= 3) new Featurize.Session(tv) else null
-    val out = relationScratch.get()
-    out.clear()
+    val scratch = relationScratch.get()
+    val view = scratch.begin()
+    val out = scratch.buf
     var a = 0
     while (a < ms.length) {
       var b = 0
@@ -209,30 +217,59 @@ final class KgModel(
       }
       a += 1
     }
-    out
+    view
   }
 }
 
 object KgModel {
 
-  /** Per-thread scan/score scratch buffers, cleared per sentence. The
-    * round-4 allocation profile showed `ArrayBuffer.empty` in the scan/score
-    * entry points as the top two Object[] churn sites (~12 GB/run at sf8):
-    * one fresh backing array per sentence, dead before the generator's eval
+  /** Per-thread scan/score scratch buffer + reuse generation. The round-4
+    * allocation profile showed `ArrayBuffer.empty` in the scan/score entry
+    * points as the top two Object[] churn sites (~12 GB/run at sf8): one
+    * fresh backing array per sentence, dead before the generator's eval
     * returns. Both results are consumed eagerly on the calling thread
     * (scoreRelationsTv drains the mention buffer; RelationsGenExpr /
     * scoreRelations drain or copy the relation buffer) — never retained
     * across calls, so per-thread reuse is safe. STATIC (companion, one
     * ThreadLocal per JVM) — see RelationsGenExpr.outScratch for the measured
     * per-instance-ThreadLocal failure mode this avoids. */
-  private val mentionScratch =
-    new ThreadLocal[scala.collection.mutable.ArrayBuffer[Mention]] {
-      override def initialValue() = new scala.collection.mutable.ArrayBuffer[Mention](16)
+  private[kg] final class Scratch[A](initCap: Int) {
+    val buf = new scala.collection.mutable.ArrayBuffer[A](initCap)
+    /** Bumped at the start of every scan/score call on this thread; a
+      * [[ScratchView]] minted by an older call refuses further access. */
+    var gen: Long = 0L
+    def begin(): ScratchView[A] = { gen += 1; buf.clear(); new ScratchView(this, gen) }
+  }
+
+  /** Read-only, generation-stamped view over a per-thread scratch buffer:
+    * the invariant "consume or copy the result before the next scan/score
+    * call on the same thread" is ENFORCED, not just documented — a view
+    * retained across a subsequent call throws on access instead of silently
+    * serving the newer call's data. One long-compare per access (noise next
+    * to the scoring work the buffers carry). */
+  final class ScratchView[A] private[KgModel] (s: Scratch[A], myGen: Long)
+      extends scala.collection.IndexedSeq[A] {
+    @inline private def check(): Unit =
+      if (s.gen != myGen) throw new IllegalStateException(
+        "stale graft scratch view: a scan/score result was retained across a " +
+          "later scan/score call on the same thread — copy it (e.g. .toSeq) " +
+          "before the next call")
+    override def length: Int = { check(); s.buf.length }
+    override def apply(i: Int): A = { check(); s.buf(i) }
+    override def foreach[U](f: A => U): Unit = {
+      check()
+      val b = s.buf; val n = b.length
+      var i = 0
+      while (i < n) { f(b(i)); i += 1 }
     }
-  private val relationScratch =
-    new ThreadLocal[scala.collection.mutable.ArrayBuffer[ScoredRelation]] {
-      override def initialValue() = new scala.collection.mutable.ArrayBuffer[ScoredRelation](16)
-    }
+  }
+
+  private val mentionScratch = new ThreadLocal[Scratch[Mention]] {
+    override def initialValue() = new Scratch[Mention](16)
+  }
+  private val relationScratch = new ThreadLocal[Scratch[ScoredRelation]] {
+    override def initialValue() = new Scratch[ScoredRelation](16)
+  }
 
   /** Build + broadcast a model from in-memory rows (no I/O). */
   def fromData(spark: SparkSession, dict: Seq[DictEntry], preds0: Seq[Predicate],

@@ -44,7 +44,7 @@ case class TimestampMicros(child: Expression) extends UnaryExpression {
   *   `b > a  (or >=)`   and   `b <= a + W  (or <)`        with constant W > 0
   *
   * over timestamp (TZ or NTZ, `+ INTERVAL` = TimestampAddInterval) or
-  * numeric (`+` = Add with a foldable operand) columns on OPPOSITE sides of
+  * integral (`+` = Add with a foldable operand) columns on OPPOSITE sides of
   * the join. `b - a ∈ [0, W]` implies `floor(b/W) - floor(a/W) ∈ {0, 1}`, so
   * the rule explodes the anchor side over `[bucket(a), bucket(a)+1]`,
   * projects `bucket(b)` on the probe side, and ANDs the bucket equality into
@@ -58,7 +58,13 @@ case class TimestampMicros(child: Expression) extends UnaryExpression {
   * Scope (documented, deliberate): inner joins only (for semi/anti the
   * exploded anchor side would change multiplicity semantics); the lower
   * bound must compare the columns directly (`b > a`, width-c1 lower offsets
-  * are not recognized); anchor/probe must be bare attributes. Timestamps
+  * are not recognized); anchor/probe must be bare attributes. EXACT integral
+  * and timestamp widths ONLY — floating-point bands are deliberately NOT
+  * rewritten: `floor(b/W) - floor(a/W)` computed in double arithmetic can be
+  * 2 while `b <= a + W` still holds (a=0.3, b=0.4, W=0.1 buckets to 2 and 4
+  * because 0.3/0.1 rounds to 2.9999999999999996 and 0.4/0.1 to 4.0), so a
+  * two-value exploded anchor would silently drop rows; double bands keep
+  * their natural (correct) plan instead. Timestamps
   * bucket on internal micros with floor division computed as
   * `(x - pmod(x, W)) div W` — exact for pre-epoch values too. Idempotent:
   * rewritten joins are recognized by the reserved `__graft_band_bucket`
@@ -70,11 +76,10 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private val BucketPrefix = "__graft_band_bucket"
 
   /** Matched band: probe attr b, anchor attr a, bucket width (micros for
-    * timestamps, same unit as the column for numerics), double-typed flag. */
+    * timestamps, same unit as the column for integrals). */
   private final case class Band(probe: AttributeReference,
                                 anchor: AttributeReference,
-                                width: Long, widthDouble: Double,
-                                isDouble: Boolean)
+                                width: Long)
 
   private def constLong(e: Expression): Option[Long] = e match {
     case Literal(v: Long, _: DayTimeIntervalType) => Some(v)
@@ -88,13 +93,13 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def matchUpper(e: Expression): Option[Band] = {
     def mk(b: Expression, a: Expression, w: Expression): Option[Band] = (b, a) match {
       case (pb: AttributeReference, pa: AttributeReference) =>
-        (pb.dataType, w) match {
-          case (TimestampType | TimestampNTZType, _) =>
-            constLong(w).filter(_ > 0).map(Band(pb, pa, _, 0d, isDouble = false))
-          case (LongType | IntegerType | ShortType, _) =>
-            constLong(w).filter(_ > 0).map(Band(pb, pa, _, 0d, isDouble = false))
-          case (DoubleType | FloatType, Literal(d: Double, DoubleType)) if d > 0 =>
-            Some(Band(pb, pa, 0L, d, isDouble = true))
+        // FloatingPoint columns are deliberately excluded (see scaladoc):
+        // double floor-division bucketing is not exact at rounding
+        // boundaries, so only types with an exact Long representation
+        // qualify.
+        pb.dataType match {
+          case TimestampType | TimestampNTZType | LongType | IntegerType | ShortType =>
+            constLong(w).filter(_ > 0).map(Band(pb, pa, _))
           case _ => None
         }
       case _ => None
@@ -128,24 +133,17 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** floor(x / w) over the column's natural long representation. */
-  private def bucketOf(attr: AttributeReference, band: Band): Expression =
-    if (band.isDouble) {
-      val v = attr.dataType match {
-        case DoubleType => attr: Expression
-        case _ => Cast(attr, DoubleType)
-      }
-      Floor(Divide(v, Literal(band.widthDouble))) // Floor(double) -> LongType
-    } else {
-      val x: Expression = attr.dataType match {
-        case TimestampType | TimestampNTZType => TimestampMicros(attr)
-        case LongType => attr
-        case _ => Cast(attr, LongType)
-      }
-      val w = Literal(band.width)
-      // exact floor division (Java `/` truncates toward zero): subtract the
-      // non-negative pmod remainder first, then divide exactly
-      IntegralDivide(Subtract(x, Pmod(x, w)), w)
+  private def bucketOf(attr: AttributeReference, band: Band): Expression = {
+    val x: Expression = attr.dataType match {
+      case TimestampType | TimestampNTZType => TimestampMicros(attr)
+      case LongType => attr
+      case _ => Cast(attr, LongType)
     }
+    val w = Literal(band.width)
+    // exact floor division (Java `/` truncates toward zero): subtract the
+    // non-negative pmod remainder first, then divide exactly
+    IntegralDivide(Subtract(x, Pmod(x, w)), w)
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString("spark.graft.bandJoin.enabled", "true") != "true") return plan

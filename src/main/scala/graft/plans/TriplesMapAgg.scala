@@ -29,10 +29,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * objectHashAggregate.sortBased.fallbackThreshold=1M decision, quantified in
   * BENCH/BASELINE.md); this map is strictly smaller per entry (no UnsafeRow
   * per-group overhead). The one capability given up is the sort-based
-  * fallback for pathological per-partition key cardinality, which that
-  * threshold decision had already rejected as the at-scale shape.
+  * fallback for pathological per-partition key cardinality — guarded by
+  * `maxEntries` (conf `spark.graft.triplesAgg.maxEntries`, default 8M): a
+  * part whose distinct-triple cardinality exceeds it fails fast with a
+  * message naming the remedies (more partitions, or the
+  * Stages.partialTriplesGroupBy fallback) instead of OOMing the executor.
+  *
+  * Score semantics match `max(score)` exactly, including nulls: a null input
+  * score never updates the max, and an entry that has seen ONLY null scores
+  * evals to a null score (`hasScore` tracks this per entry); non-null
+  * comparisons use java.lang.Double.compare, Spark's double ordering (NaN
+  * greatest).
   */
-final class TripleMap {
+final class TripleMap(val maxEntries: Int = Int.MaxValue) {
   private var cap = 1 << 10
   private var mask = cap - 1
   // parallel arrays; keys non-null except subj/obj of lineage marker rows
@@ -42,8 +51,16 @@ final class TripleMap {
   private var occupied = new Array[Boolean](cap)
   private var ns = new Array[Long](cap)
   private var scores = new Array[Double](cap)
+  private var hasScores = new Array[Boolean](cap)
   private var urls = new Array[UTF8String](cap)
   private var entries = 0
+
+  private def checkCapacity(): Unit =
+    if (entries >= maxEntries) throw new IllegalStateException(
+      s"triples_agg: per-partition distinct-triple state exceeded " +
+        s"spark.graft.triplesAgg.maxEntries=$maxEntries; repartition the " +
+        "relation stream over more parts or fall back to " +
+        "Stages.partialTriplesGroupBy (sort-based spill path)")
 
   def size: Int = entries
 
@@ -68,11 +85,11 @@ final class TripleMap {
     val oldCap = cap
     cap <<= 1; mask = cap - 1
     val os = subjs; val op = preds; val oo = objs; val oc = occupied
-    val on = ns; val osc = scores; val ou = urls
+    val on = ns; val osc = scores; val ohs = hasScores; val ou = urls
     subjs = new Array[UTF8String](cap); preds = new Array[UTF8String](cap)
     objs = new Array[UTF8String](cap); occupied = new Array[Boolean](cap)
     ns = new Array[Long](cap); scores = new Array[Double](cap)
-    urls = new Array[UTF8String](cap)
+    hasScores = new Array[Boolean](cap); urls = new Array[UTF8String](cap)
     var i = 0
     while (i < oldCap) {
       if (oc(i)) {
@@ -80,7 +97,8 @@ final class TripleMap {
         while (occupied(idx)) idx = (idx + 1) & mask
         occupied(idx) = true
         subjs(idx) = os(i); preds(idx) = op(i); objs(idx) = oo(i)
-        ns(idx) = on(i); scores(idx) = osc(i); urls(idx) = ou(i)
+        ns(idx) = on(i); scores(idx) = osc(i); hasScores(idx) = ohs(i)
+        urls(idx) = ou(i)
       }
       i += 1
     }
@@ -88,25 +106,32 @@ final class TripleMap {
 
   private def cloneOrNull(s: UTF8String): UTF8String = if (s == null) null else s.clone()
 
-  /** One relation row. Input UTF8Strings may point into reused row buffers —
-    * cloned only when they become owned state (first insert / new min url). */
+  /** One relation row; `hasScore=false` means a null input score (never
+    * updates the max — exact `max()` semantics). Input UTF8Strings may point
+    * into reused row buffers — cloned only when they become owned state
+    * (first insert / new min url). */
   def update(subj: UTF8String, pred: UTF8String, obj: UTF8String,
-             score: Double, url: UTF8String): Unit = {
+             score: Double, hasScore: Boolean, url: UTF8String): Unit = {
     var idx = slotHash(subj, pred, obj) & mask
     while (occupied(idx)) {
       if (keyEq(idx, subj, pred, obj)) {
         ns(idx) += 1L
-        if (score > scores(idx)) scores(idx) = score
+        if (hasScore && (!hasScores(idx) ||
+            java.lang.Double.compare(score, scores(idx)) > 0)) {
+          scores(idx) = score; hasScores(idx) = true
+        }
         if (url != null && (urls(idx) == null || url.compareTo(urls(idx)) < 0))
           urls(idx) = url.clone()
         return
       }
       idx = (idx + 1) & mask
     }
+    checkCapacity()
     occupied(idx) = true
     subjs(idx) = cloneOrNull(subj); preds(idx) = cloneOrNull(pred)
     objs(idx) = cloneOrNull(obj)
-    ns(idx) = 1L; scores(idx) = score; urls(idx) = cloneOrNull(url)
+    ns(idx) = 1L; scores(idx) = score; hasScores(idx) = hasScore
+    urls(idx) = cloneOrNull(url)
     entries += 1
     if (entries * 2 > cap) grow()
   }
@@ -114,29 +139,35 @@ final class TripleMap {
   /** Merge one already-aggregated entry (partial-buffer merge / deserialize).
     * Strings are owned by the source buffer — safe to share, never mutated. */
   def put(subj: UTF8String, pred: UTF8String, obj: UTF8String,
-          n: Long, score: Double, url: UTF8String): Unit = {
+          n: Long, score: Double, hasScore: Boolean, url: UTF8String): Unit = {
     var idx = slotHash(subj, pred, obj) & mask
     while (occupied(idx)) {
       if (keyEq(idx, subj, pred, obj)) {
         ns(idx) += n
-        if (score > scores(idx)) scores(idx) = score
+        if (hasScore && (!hasScores(idx) ||
+            java.lang.Double.compare(score, scores(idx)) > 0)) {
+          scores(idx) = score; hasScores(idx) = true
+        }
         if (url != null && (urls(idx) == null || url.compareTo(urls(idx)) < 0))
           urls(idx) = url
         return
       }
       idx = (idx + 1) & mask
     }
+    checkCapacity()
     occupied(idx) = true
     subjs(idx) = subj; preds(idx) = pred; objs(idx) = obj
-    ns(idx) = n; scores(idx) = score; urls(idx) = url
+    ns(idx) = n; scores(idx) = score; hasScores(idx) = hasScore
+    urls(idx) = url
     entries += 1
     if (entries * 2 > cap) grow()
   }
 
-  def foreachEntry(f: (UTF8String, UTF8String, UTF8String, Long, Double, UTF8String) => Unit): Unit = {
+  def foreachEntry(
+      f: (UTF8String, UTF8String, UTF8String, Long, Double, Boolean, UTF8String) => Unit): Unit = {
     var i = 0
     while (i < cap) {
-      if (occupied(i)) f(subjs(i), preds(i), objs(i), ns(i), scores(i), urls(i))
+      if (occupied(i)) f(subjs(i), preds(i), objs(i), ns(i), scores(i), hasScores(i), urls(i))
       i += 1
     }
   }
@@ -166,7 +197,8 @@ case class TriplesMapAgg(
     StructField("pred", StringType, nullable = true),
     StructField("obj", StringType, nullable = true),
     StructField("n", LongType, nullable = false),
-    StructField("score", DoubleType, nullable = false),
+    // nullable like max(score): a group whose scores are ALL null evals null
+    StructField("score", DoubleType, nullable = true),
     StructField("first_url", StringType, nullable = true))), containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -178,7 +210,14 @@ case class TriplesMapAgg(
       "triples_agg requires (STRING, STRING, STRING, DOUBLE, STRING) arguments")
   }
 
-  override def createAggregationBuffer(): TripleMap = new TripleMap
+  /** Per-partition distinct-triple cap (the fail-fast OOM guardrail on
+    * [[TripleMap]]); read once per task from the propagated SQLConf so
+    * clusters can tune it without a code change. */
+  @transient private lazy val maxEntries: Int =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.triplesAgg.maxEntries", "8388608").toInt
+
+  override def createAggregationBuffer(): TripleMap = new TripleMap(maxEntries)
 
   override def update(buffer: TripleMap, input: InternalRow): TripleMap = {
     val sc = score.eval(input)
@@ -186,21 +225,23 @@ case class TriplesMapAgg(
       subj.eval(input).asInstanceOf[UTF8String],
       pred.eval(input).asInstanceOf[UTF8String],
       obj.eval(input).asInstanceOf[UTF8String],
-      if (sc == null) Double.NegativeInfinity else sc.asInstanceOf[Double],
+      if (sc == null) 0d else sc.asInstanceOf[Double],
+      sc != null,
       url.eval(input).asInstanceOf[UTF8String])
     buffer
   }
 
   override def merge(buffer: TripleMap, other: TripleMap): TripleMap = {
-    other.foreachEntry((s, p, o, n, sc, u) => buffer.put(s, p, o, n, sc, u))
+    other.foreachEntry((s, p, o, n, sc, hs, u) => buffer.put(s, p, o, n, sc, hs, u))
     buffer
   }
 
   override def eval(buffer: TripleMap): Any = {
     val out = new Array[Any](buffer.size)
     var i = 0
-    buffer.foreachEntry { (s, p, o, n, sc, u) =>
-      out(i) = new GenericInternalRow(Array[Any](s, p, o, n, sc, u))
+    buffer.foreachEntry { (s, p, o, n, sc, hs, u) =>
+      out(i) = new GenericInternalRow(
+        Array[Any](s, p, o, n, if (hs) sc else null, u))
       i += 1
     }
     new GenericArrayData(out)
@@ -216,10 +257,10 @@ case class TriplesMapAgg(
     * elided, and per-byte stream writes priced every entry. */
   override def serialize(buffer: TripleMap): Array[Byte] = {
     var size = 4
-    buffer.foreachEntry { (s, p, o, _, _, u) =>
+    buffer.foreachEntry { (s, p, o, _, _, _, u) =>
       size += 4 + (if (s == null) 0 else s.numBytes) +
         4 + (if (p == null) 0 else p.numBytes) +
-        4 + (if (o == null) 0 else o.numBytes) + 8 + 8 +
+        4 + (if (o == null) 0 else o.numBytes) + 8 + 8 + 1 +
         4 + (if (u == null) 0 else u.numBytes)
     }
     val out = new Array[Byte](size)
@@ -228,15 +269,16 @@ case class TriplesMapAgg(
     def str(s: UTF8String): Unit =
       if (s == null) bb.putInt(-1)
       else { bb.putInt(s.numBytes); s.writeTo(bb) }
-    buffer.foreachEntry { (s, p, o, n, sc, u) =>
-      str(s); str(p); str(o); bb.putLong(n); bb.putDouble(sc); str(u)
+    buffer.foreachEntry { (s, p, o, n, sc, hs, u) =>
+      str(s); str(p); str(o); bb.putLong(n); bb.putDouble(sc)
+      bb.put(if (hs) 1.toByte else 0.toByte); str(u)
     }
     out
   }
 
   override def deserialize(bytes: Array[Byte]): TripleMap = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val m = new TripleMap
+    val m = new TripleMap(maxEntries)
     def str(): UTF8String = {
       val len = bb.getInt()
       if (len < 0) null
@@ -249,7 +291,7 @@ case class TriplesMapAgg(
     val k = bb.getInt()
     var i = 0
     while (i < k) {
-      m.put(str(), str(), str(), bb.getLong(), bb.getDouble(), str())
+      m.put(str(), str(), str(), bb.getLong(), bb.getDouble(), bb.get() == 1, str())
       i += 1
     }
     m

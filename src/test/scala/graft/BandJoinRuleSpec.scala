@@ -84,6 +84,30 @@ class BandJoinRuleSpec extends AnyFunSuite with SharedSpark with BeforeAndAfterA
     val (resL, planL) = offOnPlan(qLong)
     assert(resL.length == 51 && planL.contains("__graft_band_bucket"), planL)
 
+  }
+
+  test("floating-point bands are NOT rewritten (bucket rounding regression)") {
+    // Rounding counterexample: floor(0.3/0.1)=2 but floor(0.4/0.1)=4 in
+    // double arithmetic even though 0.4 <= 0.3 + 0.1 holds, so a 2-value
+    // exploded anchor would silently drop the (0.3, 0.4) pair. The rule must
+    // leave double bands on their natural (correct) plan.
+    def q(vals: Seq[Double], w: Double) = {
+      val v = vals.toDF("x")
+      val a = v.select(col("x").as("xa"))
+      val b = v.select(col("x").as("xb"))
+      a.join(b, col("xb") >= col("xa") && col("xb") <= col("xa") + lit(w))
+    }
+    val boundary = q(Seq(0.3, 0.4, 2.4999999999999996, 5.0), 0.1)
+    assert(!boundary.queryExecution.executedPlan.toString.contains("__graft_band_bucket"),
+      "double band must not be bucket-rewritten")
+    val pairs = boundary.collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(pairs.contains((0.3, 0.4)), s"boundary pair dropped: $pairs")
+    // second counterexample from the wider-width family (W=2.5)
+    val wide = q(Seq(2.4999999999999996, 5.0), 2.5)
+    assert(!wide.queryExecution.executedPlan.toString.contains("__graft_band_bucket"))
+    val widePairs = wide.collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(widePairs.contains((2.4999999999999996, 5.0)), s"dropped: $widePairs")
+    // and the general off/on equality still holds for an arbitrary double band
     def qDouble = {
       val v = (-20 to 20).map(_ * 0.7).toDF("x")
       val a = v.select(col("x").as("xa"))
@@ -92,7 +116,8 @@ class BandJoinRuleSpec extends AnyFunSuite with SharedSpark with BeforeAndAfterA
         .groupBy(col("xa")).agg(count(lit(1)).as("n"))
     }
     val (resD, planD) = offOnPlan(qDouble)
-    assert(resD.length == 41 && planD.contains("__graft_band_bucket"), planD)
+    assert(resD.length == 41, planD)
+    assert(!planD.contains("__graft_band_bucket"), planD)
   }
 
   test("out-of-scope shapes are left untouched") {

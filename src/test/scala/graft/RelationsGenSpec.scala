@@ -135,4 +135,30 @@ class RelationsGenSpec extends AnyFunSuite with SharedSpark {
       assert(u8 == ref, s"tokens $toks")
     }
   }
+
+  test("retained scratch views throw after the next call (enforced invariant)") {
+    val m = model.value
+    val toks = Array("alpha", "beta").map(UTF8String.fromString)
+    val v1 = m.scanMentionsU8(toks)
+    v1.length // fresh view: fine
+    m.scanMentionsU8(toks)
+    val e = intercept[IllegalStateException](v1.length)
+    assert(e.getMessage.contains("stale"), e.getMessage)
+
+    // relation view: stale after a second scoreRelationsTv on the thread
+    val surf = m.uni.keys.toVector.sorted
+    assume(surf.size >= 2)
+    val eToks = surf.take(2).map(UTF8String.fromString).toArray
+    val ms = m.scanMentionsU8(eToks)
+    assume(ms.length >= 2)
+    val tv = new Featurize.U8Toks(eToks)
+    val r1 = m.scoreRelationsTv(tv, ms)
+    r1.length // fresh: fine (mention scratch untouched by scoring)
+    m.scoreRelationsTv(tv, ms)
+    intercept[IllegalStateException](r1.length)
+    // and the copying wrapper's result stays valid across later calls
+    val copied = m.scoreRelations(surf.take(2).toIndexedSeq.map(identity), m.scanMentions(surf.take(2).toIndexedSeq))
+    m.scoreRelationsTv(tv, m.scanMentionsU8(eToks))
+    copied.length // no throw: .toSeq copied out of the scratch
+  }
 }
