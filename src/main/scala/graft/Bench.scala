@@ -11,7 +11,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev-only: SPARK_GRAFT_ONLY=q_a,q_b runs a subset (driver leaves it unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Untimed warmup: run the first query once before the timed loop so JVM
     // startup, codegen compilation, and parquet footer reads don't land on the
     // alphabetically-first timed entry (it read as a false regression between

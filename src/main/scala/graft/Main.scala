@@ -37,6 +37,11 @@ object Main {
       // intended shape and 1M keys x ~100 B buffers stays ~100 MB per task —
       // beyond that the key-count fallback IS the spill mechanism, kept on.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      // declarative twin of `--conf spark.sql.extensions=graft.GraftExtensions`
+      // (graft functions + BandJoinRule land in every session of this app;
+      // idempotent with the conf form — injection registrations are
+      // create-or-replace and the optimizer rule is idempotent by pattern)
+      .withExtensions(graft.plans.GraftExtensions)
     val spark = (if (sys.env.contains("SPARK_MASTER") || sys.props.contains("spark.master"))
       builder else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

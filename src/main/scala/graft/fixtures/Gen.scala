@@ -17,6 +17,7 @@ import scala.collection.mutable.ArrayBuffer
   *   weights.parquet      (pred, feature_id, weight)
   *   model_meta.parquet   (tau, w)
   *   gold_triples.parquet (subj, pred, obj, n_mentions)
+  *   media.parquet        (media_id, payload: real PNG bytes, width, height)
   *
   * The `text` column is computed with the SAME pinned Extract.text the
   * pipeline uses — in this sandbox the reference extractor is absent
@@ -184,11 +185,53 @@ object Gen {
   def inMemoryModel(spark: SparkSession): org.apache.spark.broadcast.Broadcast[graft.kg.KgModel] =
     graft.kg.KgModel.fromData(spark, Vocab.dictEntries, Vocab.predicates, weightRows, Tau)
 
+  /** Deterministic tiny image plan: dimensions + RGB pixel grid, SplitMix64
+    * keyed per media_id (order-independent like every fixture). */
+  def mediaPlan(mediaId: Long): (Int, Int, Array[Int]) = {
+    val rng = SplitMix64.forKey(SplitMix64.FixtureSeed ^ 0x4D454449L, mediaId) // "MEDI"
+    val w = 4 + rng.nextInt(13)
+    val h = 4 + rng.nextInt(13)
+    val px = Array.fill(w * h)(rng.nextLong().toInt & 0xFFFFFF)
+    (w, h, px)
+  }
+
+  /** Encode an RGB pixel grid as a real PNG via the JDK's ImageIO (ships with
+    * JDK 17 — no external codec needed). PNG is lossless, so any conforming
+    * decoder recovers these exact pixels; Multimodal.decodeOne is spec-checked
+    * against the planted (width, height, pixels). */
+  def pngBytes(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** media.parquet: real PNG payloads + PLANTED width/height metadata, the
+    * externally checkable twin of the decoder's output (MultimodalDecodeSpec
+    * joins decoded vs planted). Written idempotently and separately from the
+    * main marker so pre-existing fixture dirs pick it up. */
+  def ensureMedia(spark: SparkSession, dir: String, nPages: Long): Unit = {
+    import spark.implicits._
+    if (new java.io.File(s"$dir/media.parquet/_SUCCESS").exists()) return
+    val nMedia = math.min(nPages, 64L)
+    spark.range(nMedia)
+      .map { id =>
+        val (w, h, px) = mediaPlan(id)
+        (id, pngBytes(w, h, px), w, h)
+      }
+      .toDF("media_id", "payload", "width", "height")
+      .repartition(1).sortWithinPartitions("media_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/media.parquet")
+  }
+
   /** Full generation of one scale factor into `dir` (idempotent: skips when a
     * _SUCCESS marker exists unless overwrite=true). */
   def generate(spark: SparkSession, dir: String, nPages: Long, overwrite: Boolean = false): Unit = {
     import spark.implicits._
     val done = new java.io.File(s"$dir/webpages.parquet/_SUCCESS")
+    ensureMedia(spark, dir, nPages)
     if (done.exists() && !overwrite) return
 
     // webpages — generated distributed, written sorted by doc_id for

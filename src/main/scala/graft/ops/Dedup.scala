@@ -228,42 +228,56 @@ object Dedup {
     // min(v, min(neighbors(v))). Same single shuffle a distinct() would cost
     // (groupBy dedupes src), and it starts the loop one propagation step
     // ahead — one fewer ~fixed-cost round at harness scale, free at scale.
+    // Non-eager like the per-pair checkpoints: the first probe's aggregate
+    // is the action that fills the edges cache AND materializes the init —
+    // one job fewer at harness scale, identical lineage truncation.
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("doc_id"), least(col("src"), col("mn")).as("comp"))
-      .localCheckpoint()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      // 1) neighbor-min propagation (the changed flag rides along, so
-      //    convergence detection rides the materializing aggregate below)
-      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+      .localCheckpoint(eager = false)
+
+    // One logical round over (doc_id, comp, changed): 1) neighbor-min
+    // propagation, 2) pointer jump comp_{t+1}(v) = comp_t(comp_t(v)) against
+    // the round's own input labels (labels only ever decrease, so the jump
+    // can only lower comp; least() guards). The carried `changed` flag ORs
+    // across rounds so a probe after N rounds sees any change in any of them.
+    def round(cur: DataFrame): DataFrame = {
+      val nbrMin = edges.join(cur, edges("dst") === cur("doc_id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
-      val step = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+      val step = cur.join(nbrMin, cur("doc_id") === nbrMin("src"), "left")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
-          (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("changed"))
-      // 2) pointer jump against the PREVIOUS round's labels — the classic
-      //    comp_{t+1}(v) = comp_t(comp_t(v)) form: `labels` is already
-      //    checkpointed, so the round materializes exactly once (labels only
-      //    ever decrease, so the jump can only lower comp; least() guards)
-      val parent = labels.select(col("doc_id").as("p_id"), col("comp").as("p_comp"))
-      // Non-eager checkpoint: the convergence-count aggregate below is the
-      // action that computes (and thereby checkpoints) the round, so each
-      // round costs exactly ONE job instead of an eager-checkpoint job plus a
-      // separate isEmpty probe — that probe job was half the fixed per-round
-      // overhead that dominates at harness scale (~100-node toy graphs).
-      val next = step.as("s").join(parent.as("p"), col("s.comp") === col("p.p_id"), "left")
+          (col("changed") ||
+            coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("changed"))
+      val parent = cur.select(col("doc_id").as("p_id"), col("comp").as("p_comp"))
+      step.as("s").join(parent.as("p"), col("s.comp") === col("p.p_id"), "left")
         .select(col("s.doc_id").as("doc_id"),
           least(col("s.comp"), coalesce(col("p.p_comp"), col("s.comp"))).as("comp"),
           (col("s.changed") ||
             coalesce(col("p.p_comp"), col("s.comp")) < col("s.comp")).as("changed"))
+    }
+
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // TWO rounds per action: the per-round jobs are ~fixed-cost at harness
+      // scale, so probing convergence every second round halves the job count
+      // (doubling overshoots harmlessly — an already-converged second round
+      // changes nothing). The probe counts the SECOND round's own changes
+      // only: label propagation is monotone, so one complete round with zero
+      // changes IS the fixpoint — no separate confirming probe needed when
+      // convergence lands mid-pair. Non-eager checkpoint: the
+      // convergence-count aggregate below is the action that computes (and
+      // thereby checkpoints) the pair, so each pair costs exactly ONE job
+      // instead of an eager-checkpoint job plus a separate isEmpty probe.
+      val r1 = round(labels.select(col("doc_id"), col("comp"), lit(false).as("changed")))
+      val pair = round(r1.select(col("doc_id"), col("comp"), lit(false).as("changed")))
         .localCheckpoint(eager = false)
-      val nChanged = next.agg(count(when(col("changed"), 1)).as("c"))
+      val nChanged = pair.agg(count(when(col("changed"), 1)).as("c"))
         .first().getLong(0)
       converged = nChanged == 0L
-      labels = next.select(col("doc_id"), col("comp"))
-      i += 1
+      labels = pair.select(col("doc_id"), col("comp"))
+      i += 2
     }
     edges.unpersist()
     org.slf4j.LoggerFactory.getLogger(getClass)
