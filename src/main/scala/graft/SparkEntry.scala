@@ -110,6 +110,39 @@ object SparkEntry {
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     }),
 
+    // DOUBLE band self-join written in the natural theta form; BandJoinRule
+    // rewrites it to an equi-join on (user_id, value-bucket) with the proven
+    // 7-bucket anchor window (W=0.1 is not binary-representable, so the
+    // computed floor(x/W) drifts at bucket boundaries — the exact case the
+    // window + residual handles; see plans/BandJoinRule.scala)
+    "q_join_band_double" -> ((s, d) => {
+      graft.plans.BandJoinRule.install(s)
+      val e = t(s, d, "events")
+      val a = e.select(col("user_id").as("uid_a"), col("value").as("v_a"),
+        col("event_type"))
+      val b = e.select(col("user_id").as("uid_b"), col("value").as("v_b"))
+      a.join(b, col("uid_a") === col("uid_b") && col("v_b") >= col("v_a") &&
+          col("v_b") <= col("v_a") + lit(0.1))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }),
+
+    // DATE band (exact Int-days bucketing): lineitems shipped within 30 days
+    // of their order's date — natural date_add theta form, rewritten to an
+    // equi-join on (orderkey, day-bucket)
+    "q_join_band_date" -> ((s, d) => {
+      graft.plans.BandJoinRule.install(s)
+      // the fixture stores these as timestamps; project to DATE first so the
+      // band is over bare DateType attributes (the rule's matching scope)
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_date"), col("o_orderpriority"))
+      val l = t(s, d, "lineitem").select(col("l_orderkey"),
+        to_date(col("l_shipdate")).as("l_sdate"))
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_sdate") >= col("o_date") &&
+          col("l_sdate") <= date_add(col("o_date"), 30))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    }),
+
     // point-in-time join: each click gets the latest preceding view's payload
     // for the same user (union + window formulation — no range join)
     "q_join_asof" -> ((s, d) => {
@@ -468,6 +501,19 @@ object SparkEntry {
       ("SELECT a.event_type AS event_type, count(*) AS n FROM events a JOIN events b " +
         "ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE " +
         "GROUP BY a.event_type"),
+    // double band: IEEE double add/compare evaluate bit-identically in
+    // DuckDB (0.1 cast to DOUBLE = the same nearest-double literal Spark
+    // folds), so the theta predicate selects the same pairs
+    "q_join_band_double" ->
+      ("SELECT a.event_type AS event_type, count(*) AS n FROM events a JOIN events b " +
+        "ON a.user_id = b.user_id AND b.value >= a.value " +
+        "AND b.value <= a.value + CAST(0.1 AS DOUBLE) GROUP BY a.event_type"),
+    "q_join_band_date" ->
+      ("SELECT o.o_orderpriority AS o_orderpriority, count(*) AS n " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "AND CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE) " +
+        "AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE) + 30 " +
+        "GROUP BY o.o_orderpriority"),
     "q_agg_group" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, cast(sum(l_quantity) as bigint) AS sum_qty, " +
         "cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) as bigint) AS revenue_cents " +

@@ -34,6 +34,30 @@ case class TimestampMicros(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Internal-representation epoch days of a date — `DateType` stores Int
+  * days, so this is an identity at runtime. Exists because an ANSI
+  * `Cast(date AS int)` is not a legal cast; the band-join rewrite needs the
+  * raw day count to bucket exactly. */
+case class DateEpochDays(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "date_epoch_days"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DateType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"date_epoch_days requires DATE input, got ${dt.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = input // already Int days
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+
+  override protected def withNewChildInternal(newChild: Expression): DateEpochDays =
+    copy(child = newChild)
+}
+
 /** Optimizer rule rewriting band-interval theta joins into bucketed
   * equi-joins — the 100 TB-safe plan for `q_join_range`-shaped queries,
   * applied automatically so callers can write the natural form.
@@ -43,43 +67,92 @@ case class TimestampMicros(child: Expression) extends UnaryExpression {
   *
   *   `b > a  (or >=)`   and   `b <= a + W  (or <)`        with constant W > 0
   *
-  * over timestamp (TZ or NTZ, `+ INTERVAL` = TimestampAddInterval) or
-  * integral (`+` = Add with a foldable operand) columns on OPPOSITE sides of
-  * the join. `b - a ∈ [0, W]` implies `floor(b/W) - floor(a/W) ∈ {0, 1}`, so
-  * the rule explodes the anchor side over `[bucket(a), bucket(a)+1]`,
+  * over timestamp (TZ or NTZ, `+ INTERVAL` = TimestampAddInterval), date
+  * (`date_add(a, days)` = DateAdd — Int epoch days, exact), integral
+  * (`+` = Add with a foldable operand), or double columns on OPPOSITE
+  * sides of the join. `b - a ∈ [0, W]` implies
+  * `floor(b/W) - floor(a/W) ∈ {0, 1}`, so the rule explodes the anchor side
+  * over `[bucket(a), bucket(a)+1]` (doubles widen the window — see below),
   * projects `bucket(b)` on the probe side, and ANDs the bucket equality into
   * the join condition. The original band conjuncts remain as exact residual
   * filters — results are identical, but ExtractEquiJoinKeys now sees an
   * equi-key, so the join hashes/sorts on (…, bucket) instead of carrying the
   * band as a residual on a potentially hot key (or, with no other equi
-  * conjunct, instead of a cartesian product). Each probe row's bucket equals
-  * exactly one of the two exploded values, so no duplicates are introduced.
+  * conjunct, instead of a cartesian product). Each probe row's single bucket
+  * equals at most one of the (distinct) exploded values, so no duplicates
+  * are introduced.
   *
   * Scope (documented, deliberate): inner joins only (for semi/anti the
   * exploded anchor side would change multiplicity semantics); the lower
   * bound must compare the columns directly (`b > a`, width-c1 lower offsets
-  * are not recognized); anchor/probe must be bare attributes. EXACT integral
-  * and timestamp widths ONLY — floating-point bands are deliberately NOT
-  * rewritten: `floor(b/W) - floor(a/W)` computed in double arithmetic can be
-  * 2 while `b <= a + W` still holds (a=0.3, b=0.4, W=0.1 buckets to 2 and 4
-  * because 0.3/0.1 rounds to 2.9999999999999996 and 0.4/0.1 to 4.0), so a
-  * two-value exploded anchor would silently drop rows; double bands keep
-  * their natural (correct) plan instead. Timestamps
+  * are not recognized); anchor/probe must be bare attributes. Timestamps
   * bucket on internal micros with floor division computed as
-  * `(x - pmod(x, W)) div W` — exact for pre-epoch values too. Idempotent:
-  * rewritten joins are recognized by the reserved `__graft_band_bucket`
-  * attribute prefix and skipped (the rule runs inside the operator-
-  * optimization fixed point). Disable with
+  * `(x - pmod(x, W)) div W` — exact for pre-epoch values too, and a 2-value
+  * exploded anchor `{bucket, bucket+1}` is exactly sufficient.
+  *
+  * DOUBLE bands use a wider, guard-railed window because `floor(x/W)` in
+  * double arithmetic is inexact at rounding boundaries (`floor(0.3/0.1)=2`
+  * but `floor(0.4/0.1)=4` even though `0.4 <= 0.3 + 0.1` holds — a 2-value
+  * anchor would silently drop that pair). The residual band conjuncts keep
+  * the join EXACT regardless of bucketing, so the only soundness obligation
+  * is COVERAGE: every pair passing the original predicate must share at
+  * least one emitted bucket. With q_x = x/W in real arithmetic, f_x the
+  * computed double quotient, and eps = 2^-53:
+  *
+  *  - while |q_x| <= 2^50+2, |f_x - q_x| <= |q_x|*eps <= 1/8 < 1, so
+  *    floor(f_x) is within 1 of floor(q_x);
+  *  - the matched predicate gives 0 <= b-a (exact comparison) and
+  *    b <= fl(a+W) <= (a+W)(1+eps), hence
+  *    q_b - q_a <= 1 + (|q_a|+1)*eps < 1.13, so
+  *    floor(q_b) - floor(q_a) is in {0,1,2};
+  *  - combining: floor(f_b) - floor(f_a) is in [-2, 4] — the anchor explodes
+  *    that 7-value window.
+  *
+  * Guard rails close the |q| > 2^50 and infinity corners: the probe maps
+  * |f_b| >= 2^50 to a reserved sentinel bucket; the anchor emits the
+  * sentinel too when |f_a| >= 2^50-8 (any probe that can sentinel implies
+  * |q_a| >= 2^50 - 2.13, so the margin covers it) or when fl(a+W) is
+  * infinite (then b may itself be +Inf, which sentinels on the probe side);
+  * anchors with |f_a| >= 2^50+2 clamp their window base to bucket(0) —
+  * dummy values whose coverage duty is carried by the sentinel, since every
+  * in-band probe of such an anchor has |q_b| >= |q_a| - 1.13 > 2^50 and
+  * sentinels (this clamp also keeps `bucket+k` inside Long under ANSI
+  * arithmetic). NaN/null quotients bucket arbitrarily and are discarded by
+  * the exact residual, which also never matches NaN/null band values in the
+  * original plan. Worst-case degradation on pathological data (|x| >=
+  * 2^50 * W, i.e. quotients beyond exact-integer double range) is a hashed
+  * nested loop among the sentinel rows only — never wrong results.
+  *
+  * Idempotent: rewritten joins are recognized by the reserved
+  * `__graft_band_bucket` attribute prefix and skipped (the rule runs inside
+  * the operator-optimization fixed point). Disable with
   * `spark.graft.bandJoin.enabled=false`. */
 object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private val BucketPrefix = "__graft_band_bucket"
 
-  /** Matched band: probe attr b, anchor attr a, bucket width (micros for
-    * timestamps, same unit as the column for integrals). */
-  private final case class Band(probe: AttributeReference,
-                                anchor: AttributeReference,
-                                width: Long)
+  /** Probe rows whose |computed quotient| reaches 2^50 map to this reserved
+    * bucket; anchors near or past that range emit it alongside (or instead
+    * of) their bucket window. See the coverage proof in the class scaladoc. */
+  private val SentinelBucket = Long.MaxValue
+  /** 2^50 — the largest quotient magnitude at which the computed double
+    * floor is provably within 1 of the real floor (|q|*2^-53 <= 1/8). */
+  private val QuotGuard = 1.125899906842624e15
+
+  /** Matched band: probe attr b, anchor attr a, constant width W > 0. */
+  private sealed trait Band {
+    def probe: AttributeReference
+    def anchor: AttributeReference
+  }
+  /** Exact integral/timestamp band (width in micros for timestamps, the
+    * column's own unit for integrals). */
+  private final case class LongBand(probe: AttributeReference,
+                                    anchor: AttributeReference,
+                                    width: Long) extends Band
+  /** Double band (guard-railed inexact bucketing; width finite, > 0). */
+  private final case class DblBand(probe: AttributeReference,
+                                   anchor: AttributeReference,
+                                   width: Double) extends Band
 
   private def constLong(e: Expression): Option[Long] = e match {
     case Literal(v: Long, _: DayTimeIntervalType) => Some(v)
@@ -89,23 +162,31 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
+  private def constDouble(e: Expression): Option[Double] = e match {
+    case Literal(v: Double, DoubleType) => Some(v)
+    case _ => None
+  }
+
   /** `b <= a + W` upper-bound shapes (post constant folding). */
   private def matchUpper(e: Expression): Option[Band] = {
     def mk(b: Expression, a: Expression, w: Expression): Option[Band] = (b, a) match {
       case (pb: AttributeReference, pa: AttributeReference) =>
-        // FloatingPoint columns are deliberately excluded (see scaladoc):
-        // double floor-division bucketing is not exact at rounding
-        // boundaries, so only types with an exact Long representation
-        // qualify.
         pb.dataType match {
-          case TimestampType | TimestampNTZType | LongType | IntegerType | ShortType =>
-            constLong(w).filter(_ > 0).map(Band(pb, pa, _))
+          case TimestampType | TimestampNTZType | DateType |
+               LongType | IntegerType | ShortType =>
+            constLong(w).filter(_ > 0).map(LongBand(pb, pa, _))
+          case DoubleType =>
+            // FloatType never reaches here as a bare attribute (the analyzer
+            // wraps float columns in Cast for a double-literal width).
+            constDouble(w).filter(v => v > 0 && java.lang.Double.isFinite(v))
+              .map(DblBand(pb, pa, _))
           case _ => None
         }
       case _ => None
     }
     def fromAdd(b: Expression, add: Expression): Option[Band] = add match {
       case TimestampAddInterval(a, w, _) => mk(b, a, w)
+      case DateAdd(a: AttributeReference, w) if w.foldable => mk(b, a, w)
       case Add(a: AttributeReference, w, _) if w.foldable => mk(b, a, w)
       case Add(w, a: AttributeReference, _) if w.foldable => mk(b, a, w)
       case _ => None
@@ -132,17 +213,49 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** floor(x / w) over the column's natural long representation. */
-  private def bucketOf(attr: AttributeReference, band: Band): Expression = {
-    val x: Expression = attr.dataType match {
-      case TimestampType | TimestampNTZType => TimestampMicros(attr)
-      case LongType => attr
-      case _ => Cast(attr, LongType)
-    }
-    val w = Literal(band.width)
-    // exact floor division (Java `/` truncates toward zero): subtract the
-    // non-negative pmod remainder first, then divide exactly
-    IntegralDivide(Subtract(x, Pmod(x, w)), w)
+  /** Probe-side bucket: floor(x / W) over the column's natural long
+    * representation (exact), or the guarded double floor (sentinel past
+    * 2^50 — see scaladoc). */
+  private def bucketOf(attr: AttributeReference, band: Band): Expression = band match {
+    case lb: LongBand =>
+      val x: Expression = attr.dataType match {
+        case TimestampType | TimestampNTZType => TimestampMicros(attr)
+        case DateType => Cast(DateEpochDays(attr), LongType)
+        case LongType => attr
+        case _ => Cast(attr, LongType)
+      }
+      val w = Literal(lb.width)
+      // exact floor division (Java `/` truncates toward zero): subtract the
+      // non-negative pmod remainder first, then divide exactly
+      IntegralDivide(Subtract(x, Pmod(x, w)), w)
+    case db: DblBand =>
+      val q = Divide(attr, Literal(db.width))
+      If(GreaterThanOrEqual(Abs(q), Literal(QuotGuard)),
+        Literal(SentinelBucket), Floor(q))
+  }
+
+  /** Anchor-side bucket array: {bucket, bucket+1} for exact widths; the
+    * proven [-2, 4] window plus guard-rail sentinel for double widths. */
+  private def anchorBuckets(band: Band): Expression = band match {
+    case lb: LongBand =>
+      val bkt = bucketOf(lb.anchor, lb)
+      CreateArray(Seq(bkt, Add(bkt, Literal(1L))))
+    case db: DblBand =>
+      val q = Divide(db.anchor, Literal(db.width))
+      // clamp far-out quotients to 0 before Floor so `bucket + k` stays in
+      // Long range under ANSI arithmetic; their coverage is the sentinel's
+      val qc = If(GreaterThanOrEqual(Abs(q), Literal(QuotGuard + 2.0)),
+        Literal(0.0), q)
+      val bkt = Floor(qc)
+      val window = (-2L to 4L).map(k => Add(bkt, Literal(k)))
+      val sentinelCond = Or(
+        GreaterThanOrEqual(Abs(q), Literal(QuotGuard - 8.0)),
+        // fl(a+W) infinite: +Inf probes satisfy `b <= +Inf` and sentinel
+        GreaterThanOrEqual(Abs(Add(db.anchor, Literal(db.width))),
+          Literal(Double.MaxValue)))
+      If(sentinelCond,
+        CreateArray(window :+ Literal(SentinelBucket)),
+        CreateArray(window))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -163,11 +276,10 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             val anchorLeft = left.outputSet.contains(b.anchor)
             val anchorPlan = if (anchorLeft) left else right
             val probePlan = if (anchorLeft) right else left
-            // anchor side: explode [bucket(a), bucket(a)+1]
-            val bkt = bucketOf(b.anchor, b)
-            val arr = CreateArray(Seq(bkt, Add(bkt, Literal(1L))))
+            // anchor side: explode the band's bucket window
+            val arr = anchorBuckets(b)
             val jb = AttributeReference(s"${BucketPrefix}_a", LongType,
-              nullable = bkt.nullable)()
+              nullable = true)()
             val gen = Generate(Explode(arr), unrequiredChildIndex = Nil,
               outer = false, qualifier = None, generatorOutput = Seq(jb),
               child = anchorPlan)

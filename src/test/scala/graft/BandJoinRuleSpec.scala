@@ -86,38 +86,105 @@ class BandJoinRuleSpec extends AnyFunSuite with SharedSpark with BeforeAndAfterA
 
   }
 
-  test("floating-point bands are NOT rewritten (bucket rounding regression)") {
-    // Rounding counterexample: floor(0.3/0.1)=2 but floor(0.4/0.1)=4 in
-    // double arithmetic even though 0.4 <= 0.3 + 0.1 holds, so a 2-value
-    // exploded anchor would silently drop the (0.3, 0.4) pair. The rule must
-    // leave double bands on their natural (correct) plan.
-    def q(vals: Seq[Double], w: Double) = {
-      val v = vals.toDF("x")
-      val a = v.select(col("x").as("xa"))
-      val b = v.select(col("x").as("xb"))
-      a.join(b, col("xb") >= col("xa") && col("xb") <= col("xa") + lit(w))
+  test("date band join (date_add width): exact Int-days bucketing") {
+    // dates straddling the epoch so negative day counts hit the floor-div
+    // path; W=10 days
+    def q = {
+      val v = (-40 to 40).map(i => java.sql.Date.valueOf(
+        java.time.LocalDate.of(1970, 1, 1).plusDays(i * 3L))).toDF("d")
+      val a = v.select(col("d").as("da"))
+      val b = v.select(col("d").as("db"))
+      a.join(b, col("db") >= col("da") && col("db") <= date_add(col("da"), 10))
+        .groupBy(col("da")).agg(count(lit(1)).as("n"))
     }
-    val boundary = q(Seq(0.3, 0.4, 2.4999999999999996, 5.0), 0.1)
-    assert(!boundary.queryExecution.executedPlan.toString.contains("__graft_band_bucket"),
-      "double band must not be bucket-rewritten")
+    val (res, plan) = offOnPlan(q)
+    assert(res.length == 81, plan)
+    assert(plan.contains("__graft_band_bucket"), plan)
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+  }
+
+  private def qDbl(vals: Seq[java.lang.Double], w: Double,
+                   strictUpper: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val v = spark.createDataFrame(
+      new java.util.ArrayList[Row](vals.map(Row(_)).asJava),
+      StructType(Seq(StructField("x", DoubleType, nullable = true))))
+    val a = v.select(col("x").as("xa"))
+    val b = v.select(col("x").as("xb"))
+    val upper = if (strictUpper) col("xb") < col("xa") + lit(w)
+                else col("xb") <= col("xa") + lit(w)
+    a.join(b, col("xb") >= col("xa") && upper)
+  }
+
+  test("double bands ARE rewritten and survive the rounding boundary") {
+    // Rounding counterexample: floor(0.3/0.1)=2 but floor(0.4/0.1)=4 in
+    // double arithmetic even though 0.4 <= 0.3 + 0.1 holds — a 2-value
+    // exploded anchor dropped this pair; the 7-value window must keep it.
+    val boundary = qDbl(Seq(0.3, 0.4, 2.4999999999999996, 5.0), 0.1)
+    assert(boundary.queryExecution.executedPlan.toString.contains("__graft_band_bucket"),
+      "double band must now be bucket-rewritten")
     val pairs = boundary.collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
     assert(pairs.contains((0.3, 0.4)), s"boundary pair dropped: $pairs")
     // second counterexample from the wider-width family (W=2.5)
-    val wide = q(Seq(2.4999999999999996, 5.0), 2.5)
-    assert(!wide.queryExecution.executedPlan.toString.contains("__graft_band_bucket"))
+    val wide = qDbl(Seq(2.4999999999999996, 5.0), 2.5)
     val widePairs = wide.collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
     assert(widePairs.contains((2.4999999999999996, 5.0)), s"dropped: $widePairs")
-    // and the general off/on equality still holds for an arbitrary double band
-    def qDouble = {
-      val v = (-20 to 20).map(_ * 0.7).toDF("x")
-      val a = v.select(col("x").as("xa"))
-      val b = v.select(col("x").as("xb"))
-      a.join(b, col("xb") >= col("xa") && col("xb") < col("xa") + lit(2.5))
-        .groupBy(col("xa")).agg(count(lit(1)).as("n"))
-    }
-    val (resD, planD) = offOnPlan(qDouble)
+    // general off/on equality with the rewrite active
+    def q = qDbl((-20 to 20).map(i => java.lang.Double.valueOf(i * 0.7)), 2.5,
+        strictUpper = true)
+      .groupBy(col("xa")).agg(count(lit(1)).as("n"))
+    val (resD, planD) = offOnPlan(q)
     assert(resD.length == 41, planD)
-    assert(!planD.contains("__graft_band_bucket"), planD)
+    assert(planD.contains("__graft_band_bucket"), planD)
+    assert(!planD.contains("NestedLoop") && !planD.contains("Cartesian"), planD)
+  }
+
+  test("double band guard rails: huge magnitudes, infinities, NaN, nulls") {
+    // sentinel territory (|x/W| >= 2^50), the clamp band around it, infinite
+    // fl(a+W) (1.5e308 + 1e308 overflows), NaN, nulls — off/on must agree
+    val w = 1.0e-3
+    val q50 = 1.125899906842624e15 // 2^50 quotients at W=1e-3 -> |x| ~ 1.1e12
+    val vals: Seq[java.lang.Double] = Seq[java.lang.Double](
+      0.0, 1.0e-3, 2.5e-3, -1.0e-3,
+      q50 * w, q50 * w + 1.0, -q50 * w, (q50 - 5.0) * w, (q50 + 5.0) * w,
+      (q50 * 2) * w, Double.MaxValue, -Double.MaxValue,
+      Double.PositiveInfinity, Double.NegativeInfinity, Double.NaN, null)
+    def q = qDbl(vals, w).groupBy(col("xa")).agg(count(lit(1)).as("n"))
+    val (_, plan) = offOnPlan(q)
+    assert(plan.contains("__graft_band_bucket"), plan)
+    // and at a width where a+W overflows to +Inf for max-magnitude anchors:
+    // +Inf probes satisfy b <= +Inf and must still pair (sentinel coverage)
+    val big: Seq[java.lang.Double] = Seq[java.lang.Double](
+      1.5e308, 1.6e308, Double.MaxValue, Double.PositiveInfinity, 0.0, 1.0)
+    def qBig = qDbl(big, 1.0e308).groupBy(col("xa")).agg(count(lit(1)).as("n"))
+    val (resBig, _) = offOnPlan(qBig)
+    assert(resBig.nonEmpty)
+  }
+
+  test("double band fuzz: off/on equality on adversarial multiples of W") {
+    val rnd = new scala.util.Random(20260818L)
+    val widths = Seq(0.1, 2.5, 1.0e-7, 3.7e7, 0.30000000000000004)
+    for (w <- widths) {
+      // values pinned to k*W with ±ulp nudges — every value sits on a bucket
+      // boundary, the worst case for computed-floor drift
+      val vals: Seq[java.lang.Double] = (0 until 120).map { _ =>
+        val k = rnd.between(-60, 60).toLong
+        val base = k * w
+        val nudged = rnd.nextInt(3) match {
+          case 0 => base
+          case 1 => Math.nextUp(base)
+          case _ => Math.nextDown(base)
+        }
+        java.lang.Double.valueOf(nudged)
+      }
+      val strict = rnd.nextBoolean() // drawn once: off and on must see the same query
+      def q = qDbl(vals, w, strictUpper = strict)
+        .groupBy(col("xa")).agg(count(lit(1)).as("n"))
+      val (_, plan) = offOnPlan(q)
+      assert(plan.contains("__graft_band_bucket"), s"W=$w not rewritten:\n$plan")
+    }
   }
 
   test("out-of-scope shapes are left untouched") {
