@@ -65,9 +65,16 @@ final class KgModel(
     * round and reused on the next call. The consume-before-next-scan
     * invariant is ENFORCED: a retained view throws on access after the next
     * call on the same thread (RelationsGenSpec pins this). */
-  def scanMentionsU8(tokens: Array[UTF8String]): scala.collection.IndexedSeq[Mention] = {
+  def scanMentionsU8(tokens: Array[UTF8String]): scala.collection.IndexedSeq[Mention] =
+    scanMentionsU8(tokens, mentionScratch.get())
+
+  /** [[scanMentionsU8]] with a caller-held scratch: hot callers
+    * (RelationsGenExpr) fetch the per-thread scratch ONCE per task instead
+    * of per sentence — ThreadLocal map probing on every get() read ~12% of
+    * executor CPU in the round-5 JFR even with static ThreadLocals. */
+  def scanMentionsU8(tokens: Array[UTF8String],
+                     scratch: KgModel.Scratch[Mention]): scala.collection.IndexedSeq[Mention] = {
     val d = dictProbe
-    val scratch = mentionScratch.get()
     val view = scratch.begin()
     val out = scratch.buf
     val n = tokens.length
@@ -164,13 +171,19 @@ final class KgModel(
     * a view retained across a later call on the same thread throws on
     * access. */
   def scoreRelationsTv(tv: Featurize.TokenVec,
-                       ms: scala.collection.IndexedSeq[Mention]): scala.collection.Seq[ScoredRelation] = {
+                       ms: scala.collection.IndexedSeq[Mention]): scala.collection.Seq[ScoredRelation] =
+    scoreRelationsTv(tv, ms, relationScratch.get())
+
+  /** [[scoreRelationsTv]] with a caller-held scratch — see
+    * [[scanMentionsU8]]'s two-arg overload for why. */
+  def scoreRelationsTv(tv: Featurize.TokenVec,
+                       ms: scala.collection.IndexedSeq[Mention],
+                       scratch: KgModel.Scratch[ScoredRelation]): scala.collection.Seq[ScoredRelation] = {
     if (ms.length < 2) return Nil
     // per-sentence precomputed feature hashes pay off once they are shared
     // across many pairs; for the common 2-mention sentence direct hashing of
     // the single window is cheaper (identical ids either way)
     val session = if (ms.length >= 3) new Featurize.Session(tv) else null
-    val scratch = relationScratch.get()
     val view = scratch.begin()
     val out = scratch.buf
     var a = 0
@@ -233,7 +246,7 @@ object KgModel {
     * across calls, so per-thread reuse is safe. STATIC (companion, one
     * ThreadLocal per JVM) — see RelationsGenExpr.outScratch for the measured
     * per-instance-ThreadLocal failure mode this avoids. */
-  private[kg] final class Scratch[A](initCap: Int) {
+  private[graft] final class Scratch[A](initCap: Int) {
     val buf = new scala.collection.mutable.ArrayBuffer[A](initCap)
     /** Bumped at the start of every scan/score call on this thread; a
       * [[ScratchView]] minted by an older call refuses further access. */
@@ -270,6 +283,11 @@ object KgModel {
   private val relationScratch = new ThreadLocal[Scratch[ScoredRelation]] {
     override def initialValue() = new Scratch[ScoredRelation](16)
   }
+
+  /** Per-thread scratches for callers that hoist the ThreadLocal fetch out
+    * of their per-row loop (cache per task, guard on the thread id). */
+  private[graft] def threadMentionScratch(): Scratch[Mention] = mentionScratch.get()
+  private[graft] def threadRelationScratch(): Scratch[ScoredRelation] = relationScratch.get()
 
   /** Build + broadcast a model from in-memory rows (no I/O). */
   def fromData(spark: SparkSession, dict: Seq[DictEntry], preds0: Seq[Predicate],

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.kg.{Featurize, KgModel, Stages}
+import graft.kg.{Featurize, KgModel, Mention, ScoredRelation, Stages}
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -65,12 +65,31 @@ case class RelationsGenExpr(
         s"relations_gen requires (array<string>, boolean, boolean), got $other")
   }
 
+  // Per-task scratch cache: eval runs on one task thread at a time (each
+  // task deserializes its own Generator instance), so the three per-thread
+  // scratches are fetched ONCE and reused across rows — ThreadLocal map
+  // probing on per-sentence get()s read ~12% of executor CPU in the round-5
+  // JFR even with static ThreadLocals. The thread-id guard re-fetches if an
+  // instance is ever driven from a different thread (e.g. a fresh local
+  // relation evaluated on the driver).
+  @transient private var scratchThread: Long = -1L
+  @transient private var outBuf: ArrayBuffer[InternalRow] = _
+  @transient private var msScratch: KgModel.Scratch[Mention] = _
+  @transient private var rsScratch: KgModel.Scratch[ScoredRelation] = _
+
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val m = model.value
     val arr = tokens.eval(input).asInstanceOf[ArrayData]
     val anc = { val v = anchor.eval(input); v != null && v.asInstanceOf[Boolean] }
     val ins = { val v = inScope.eval(input); v != null && v.asInstanceOf[Boolean] }
-    val out = RelationsGenExpr.outScratch.get()
+    val tid = Thread.currentThread().getId
+    if (tid != scratchThread) {
+      outBuf = RelationsGenExpr.outScratch.get()
+      msScratch = KgModel.threadMentionScratch()
+      rsScratch = KgModel.threadRelationScratch()
+      scratchThread = tid
+    }
+    val out = outBuf
     out.clear()
     if (arr != null && ins) {
       val n = arr.numElements()
@@ -79,11 +98,11 @@ case class RelationsGenExpr(
       while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
       val strs: IndexedSeq[String] =
         if (useAho) ArraySeq.unsafeWrapArray(toks.map(_.toString)) else null
-      val ms = if (useAho) m.aho.scanGreedy(strs) else m.scanMentionsU8(toks)
+      val ms = if (useAho) m.aho.scanGreedy(strs) else m.scanMentionsU8(toks, msScratch)
       accMentions.foreach(_.add(ms.length.toLong))
       if (ms.length >= 2) {
         accCandidates.foreach(_.add(ms.length.toLong * (ms.length - 1)))
-        val rels = m.scoreRelationsTv(new Featurize.U8Toks(toks), ms)
+        val rels = m.scoreRelationsTv(new Featurize.U8Toks(toks), ms, rsScratch)
         rels.foreach { r =>
           out += new GenericInternalRow(
             Array[Any](m.u8(r.subj), m.u8(r.pred), m.u8(r.obj), r.score))

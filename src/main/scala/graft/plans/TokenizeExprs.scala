@@ -27,6 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    Character.isLetter/isDigit) and slices at code-point boundaries, so a
   *    slice's bytes == the re-encoded bytes of the String substring.
   * TokenizeEquivalenceSpec fuzzes both against the java.util.regex forms. */
+/** Mutable (start,end) boundary-scratch holder: thread-confined, fetched
+  * once per task via [[TokenizeRuntime.threadBounds]] (top-level class so
+  * generated Java code can name it without a `$`). */
+final class TokenBounds {
+  var a: Array[Int] = new Array[Int](512)
+}
+
 object TokenizeRuntime {
 
   private def isSentWsB(b: Int): Boolean =
@@ -38,13 +45,22 @@ object TokenizeRuntime {
     * byte spans here, then allocate the output array at its EXACT size —
     * the grow-and-trim Arrays.copyOf pattern this replaces was ~10% of
     * executor CPU (round-4 JFR: one trim copy per sentence). The runtime
-    * object is shared across executor threads, hence ThreadLocal. */
-  private val scratch = new ThreadLocal[Array[Int]] {
-    override def initialValue(): Array[Int] = new Array[Int](512)
+    * object is shared across executor threads, hence ThreadLocal — but the
+    * codegen'd expressions fetch the holder ONCE per generated-class
+    * instance (per task) via [[threadBounds]] and pass it per call:
+    * ThreadLocal map probing on per-sentence get()s read ~12% of executor
+    * CPU in the round-5 JFR even with a static ThreadLocal. */
+  private val scratch = new ThreadLocal[TokenBounds] {
+    override def initialValue(): TokenBounds = new TokenBounds
   }
-  private def grow(a: Array[Int]): Array[Int] = {
-    val b = java.util.Arrays.copyOf(a, a.length * 2)
-    scratch.set(b)
+
+  /** The calling thread's boundary scratch — fetch once per task, pass to
+    * the two-arg scanners. The holder must stay on its thread. */
+  def threadBounds(): TokenBounds = scratch.get()
+
+  private def grow(h: TokenBounds): Array[Int] = {
+    val b = java.util.Arrays.copyOf(h.a, h.a.length * 2)
+    h.a = b
     b
   }
 
@@ -60,12 +76,14 @@ object TokenizeRuntime {
     new GenericArrayData(out.asInstanceOf[Array[Any]])
   }
 
-  def sentences(s: UTF8String): ArrayData = {
+  def sentences(s: UTF8String): ArrayData = sentences(s, scratch.get())
+
+  def sentences(s: UTF8String, h: TokenBounds): ArrayData = {
     val nb = s.numBytes
-    var bounds = scratch.get()
+    var bounds = h.a
     var m = 0
     def emit(a: Int, b: Int): Unit = {
-      if (2 * m == bounds.length) bounds = grow(bounds)
+      if (2 * m == bounds.length) bounds = grow(h)
       bounds(2 * m) = a
       bounds(2 * m + 1) = b
       m += 1
@@ -98,21 +116,23 @@ object TokenizeRuntime {
     * round-4 JFR). Any byte >= 0x80 aborts to the generic path, which
     * delegates to UTF8String.toLowerCase — the SAME call Spark's Lower
     * makes for the default collation. */
-  def tokensLower(s: UTF8String): ArrayData = {
+  def tokensLower(s: UTF8String): ArrayData = tokensLower(s, scratch.get())
+
+  def tokensLower(s: UTF8String, h: TokenBounds): ArrayData = {
     val nb = s.numBytes
     val buf = new Array[Byte](nb)
-    var bounds = scratch.get()
+    var bounds = h.a
     var m = 0
     var start = -1
     var i = 0
     while (i < nb) {
       val b0 = s.getByte(i) & 0xFF
-      if (b0 >= 0x80) return tokensLowerGeneric(s) // non-ASCII: generic path
+      if (b0 >= 0x80) return tokensLowerGeneric(s, h) // non-ASCII: generic path
       val lb = if (b0 >= 'A' && b0 <= 'Z') b0 + 32 else b0
       buf(i) = lb.toByte
       if (Tokenize.AsciiTokenCp(lb)) { if (start < 0) start = i }
       else if (start >= 0) {
-        if (2 * m == bounds.length) bounds = grow(bounds)
+        if (2 * m == bounds.length) bounds = grow(h)
         bounds(2 * m) = start
         bounds(2 * m + 1) = i
         m += 1
@@ -121,7 +141,7 @@ object TokenizeRuntime {
       i += 1
     }
     if (start >= 0) {
-      if (2 * m == bounds.length) bounds = grow(bounds)
+      if (2 * m == bounds.length) bounds = grow(h)
       bounds(2 * m) = start
       bounds(2 * m + 1) = nb
       m += 1
@@ -135,10 +155,10 @@ object TokenizeRuntime {
     new GenericArrayData(out.asInstanceOf[Array[Any]])
   }
 
-  private def tokensLowerGeneric(s: UTF8String): ArrayData = {
+  private def tokensLowerGeneric(s: UTF8String, h: TokenBounds): ArrayData = {
     val low = s.toLowerCase
     val nb = low.numBytes
-    var bounds = scratch.get()
+    var bounds = h.a
     var m = 0
     var start = -1
     var i = 0
@@ -164,7 +184,7 @@ object TokenizeRuntime {
       }
       if (isTok) { if (start < 0) start = i }
       else if (start >= 0) {
-        if (2 * m == bounds.length) bounds = grow(bounds)
+        if (2 * m == bounds.length) bounds = grow(h)
         bounds(2 * m) = start
         bounds(2 * m + 1) = i
         m += 1
@@ -173,7 +193,7 @@ object TokenizeRuntime {
       i += w
     }
     if (start >= 0) {
-      if (2 * m == bounds.length) bounds = grow(bounds)
+      if (2 * m == bounds.length) bounds = grow(h)
       bounds(2 * m) = start
       bounds(2 * m + 1) = nb
       m += 1
@@ -197,8 +217,14 @@ case class SplitSentencesExpr(child: Expression) extends TokenizeLikeExpr {
   override def prettyName: String = "split_sentences"
   override def nullSafeEval(input: Any): Any =
     TokenizeRuntime.sentences(input.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.TokenizeRuntime.sentences($c)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // per-task-instance scratch handle: one ThreadLocal fetch per task
+    // instead of one per sentence (generated classes are constructed on
+    // their task's thread)
+    val h = ctx.addMutableState("graft.plans.TokenBounds", "tokBounds",
+      v => s"$v = graft.plans.TokenizeRuntime.threadBounds();")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TokenizeRuntime.sentences($c, $h)")
+  }
   override protected def withNewChildInternal(newChild: Expression): SplitSentencesExpr =
     copy(child = newChild)
 }
@@ -209,8 +235,11 @@ case class TokenizeLowerExpr(child: Expression) extends TokenizeLikeExpr {
   override def prettyName: String = "tokenize_lower"
   override def nullSafeEval(input: Any): Any =
     TokenizeRuntime.tokensLower(input.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.TokenizeRuntime.tokensLower($c)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val h = ctx.addMutableState("graft.plans.TokenBounds", "tokBounds",
+      v => s"$v = graft.plans.TokenizeRuntime.threadBounds();")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TokenizeRuntime.tokensLower($c, $h)")
+  }
   override protected def withNewChildInternal(newChild: Expression): TokenizeLowerExpr =
     copy(child = newChild)
 }
