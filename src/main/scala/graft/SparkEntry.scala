@@ -143,6 +143,35 @@ object SparkEntry {
         .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
     }),
 
+    // semi band: events that FOLLOW another event of the same user within
+    // 5 minutes — BandJoinRule explodes the right (anchor) side, existence
+    // semantics preserved; left output multiplicity untouched
+    "q_join_band_semi" -> ((s, d) => {
+      graft.plans.BandJoinRule.install(s)
+      val e = t(s, d, "events")
+      val lead = e.select(col("user_id").as("uid_b"), col("ts").as("ts_b"),
+        col("event_type"))
+      val prior = e.select(col("user_id").as("uid_a"), col("ts").as("ts_a"))
+      lead.join(prior, col("uid_b") === col("uid_a") &&
+          col("ts_b") > col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"), "left_semi")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }),
+
+    // anti twin: events with NO prior same-user event within 5 minutes
+    // (conversation starters) — complementary failure mode to the semi
+    "q_join_band_anti" -> ((s, d) => {
+      graft.plans.BandJoinRule.install(s)
+      val e = t(s, d, "events")
+      val lead = e.select(col("user_id").as("uid_b"), col("ts").as("ts_b"),
+        col("event_type"))
+      val prior = e.select(col("user_id").as("uid_a"), col("ts").as("ts_a"))
+      lead.join(prior, col("uid_b") === col("uid_a") &&
+          col("ts_b") > col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"), "left_anti")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }),
+
     // point-in-time join: each click gets the latest preceding view's payload
     // for the same user (union + window formulation — no range join)
     "q_join_asof" -> ((s, d) => {
@@ -514,6 +543,16 @@ object SparkEntry {
         "AND CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE) " +
         "AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE) + 30 " +
         "GROUP BY o.o_orderpriority"),
+    "q_join_band_semi" ->
+      ("SELECT a.event_type AS event_type, count(*) AS n FROM events a " +
+        "WHERE EXISTS (SELECT 1 FROM events b WHERE b.user_id = a.user_id " +
+        "AND a.ts > b.ts AND a.ts <= b.ts + INTERVAL 5 MINUTE) " +
+        "GROUP BY a.event_type"),
+    "q_join_band_anti" ->
+      ("SELECT a.event_type AS event_type, count(*) AS n FROM events a " +
+        "WHERE NOT EXISTS (SELECT 1 FROM events b WHERE b.user_id = a.user_id " +
+        "AND a.ts > b.ts AND a.ts <= b.ts + INTERVAL 5 MINUTE) " +
+        "GROUP BY a.event_type"),
     "q_agg_group" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, cast(sum(l_quantity) as bigint) AS sum_qty, " +
         "cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) as bigint) AS revenue_cents " +

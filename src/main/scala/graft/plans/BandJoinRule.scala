@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -82,8 +82,13 @@ case class DateEpochDays(child: Expression) extends UnaryExpression {
   * equals at most one of the (distinct) exploded values, so no duplicates
   * are introduced.
   *
-  * Scope (documented, deliberate): inner joins only (for semi/anti the
-  * exploded anchor side would change multiplicity semantics); the lower
+  * Scope (documented, deliberate): inner joins, plus left-semi / left-anti
+  * when the anchor sits on the RIGHT (non-output) side — semi/anti emit
+  * left rows by existence/non-existence, and exploding the right side
+  * preserves existence exactly (every matching right row keeps exactly the
+  * bucket copies the probe can hit; the residual keeps each copy's
+  * condition equivalent), while exploding the LEFT would duplicate output
+  * rows, so left-anchored semi/anti bands are left unrewritten. The lower
   * bound must compare the columns directly (`b > a`, width-c1 lower offsets
   * are not recognized); anchor/probe must be bare attributes. Timestamps
   * bucket on internal micros with floor division computed as
@@ -261,14 +266,22 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString("spark.graft.bandJoin.enabled", "true") != "true") return plan
     plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), hint)
+      case j @ Join(left, right, jt @ (Inner | LeftSemi | LeftAnti), Some(cond), hint)
           if !cond.references.exists(_.name.startsWith(BucketPrefix)) =>
         val conjuncts = splitConjunctivePredicates(cond)
         val band = conjuncts.iterator.flatMap(matchUpper).find { b =>
           val opposite =
             (left.outputSet.contains(b.anchor) && right.outputSet.contains(b.probe)) ||
               (right.outputSet.contains(b.anchor) && left.outputSet.contains(b.probe))
-          opposite && conjuncts.exists(matchesLower(_, b))
+          // semi/anti emit LEFT rows (at most once / on no-match): exploding
+          // the left side would change multiplicity, but exploding the RIGHT
+          // preserves existence exactly — for every right row satisfying the
+          // original condition, exactly the exploded copies whose bucket can
+          // match exist (coverage proof above), and the residual band keeps
+          // the per-copy condition equivalent. So: anchor must sit on the
+          // right for semi/anti; inner allows either side.
+          val anchorSideOk = jt == Inner || right.outputSet.contains(b.anchor)
+          opposite && anchorSideOk && conjuncts.exists(matchesLower(_, b))
         }
         band match {
           case None => j
@@ -288,8 +301,10 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             val proj = Project(probePlan.output :+ bb, probePlan)
             val newCond = And(cond, EqualTo(jb, bb.toAttribute))
             val newJoin =
-              if (anchorLeft) Join(gen, proj, Inner, Some(newCond), hint)
-              else Join(proj, gen, Inner, Some(newCond), hint)
+              if (anchorLeft) Join(gen, proj, jt, Some(newCond), hint)
+              else Join(proj, gen, jt, Some(newCond), hint)
+            // inner: strip the bucket columns; semi/anti already emit only
+            // left.output (the probe Project adds bb below the join only)
             Project(j.output, newJoin)
         }
     }

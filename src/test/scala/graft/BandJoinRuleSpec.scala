@@ -194,14 +194,43 @@ class BandJoinRuleSpec extends AnyFunSuite with SharedSpark with BeforeAndAfterA
     val b = e.select(col("uid").as("uid_b"), col("ts").as("ts_b"))
     val asof = a.join(b, col("uid_a") === col("uid_b") && col("ts_b") <= col("ts_a"))
     assert(!asof.queryExecution.executedPlan.toString.contains("__graft_band_bucket"))
-    // non-inner join types keep their plan (explode would change semantics)
-    val semi = a.join(b, col("uid_a") === col("uid_b") && col("ts_b") > col("ts_a") &&
-      col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"), "left_semi")
-    assert(!semi.queryExecution.executedPlan.toString.contains("__graft_band_bucket"))
+    // semi with the ANCHOR ON THE LEFT (output side) keeps its plan —
+    // exploding the output side would duplicate left rows (here ts_a, the
+    // band's anchor, belongs to `a`, the semi join's left input)
+    val semiLeftAnchor = a.join(b,
+      col("uid_a") === col("uid_b") && col("ts_b") > col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"), "left_semi")
+    assert(!semiLeftAnchor.queryExecution.executedPlan.toString
+      .contains("__graft_band_bucket"),
+      "left-anchored semi band must stay unrewritten")
     // width must be positive
     val zero = a.join(b, col("uid_a") === col("uid_b") && col("ts_b") > col("ts_a") &&
       col("ts_b") <= col("ts_a") + expr("INTERVAL 0 MINUTES"))
     assert(!zero.queryExecution.executedPlan.toString.contains("__graft_band_bucket"))
+  }
+
+  test("semi/anti band joins rewrite when the anchor is on the right side") {
+    // "events with (semi) / without (anti) a follow-up by the same user
+    // within 5 minutes": probe ts_b on the LEFT (output) side, anchor ts_a
+    // exploded on the RIGHT — existence preserved, multiplicity untouched
+    def q(joinType: String) = {
+      val e = eventsDf
+      val lead = e.select(col("uid").as("uid_b"), col("ts").as("ts_b"),
+        col("etype"))
+      val follow = e.select(col("uid").as("uid_a"), col("ts").as("ts_a"))
+      lead.join(follow, col("uid_b") === col("uid_a") &&
+          col("ts_b") > col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"), joinType)
+        .groupBy(col("etype")).agg(count(lit(1)).as("n"))
+    }
+    for (jt <- Seq("left_semi", "left_anti")) {
+      def qj = q(jt)
+      val (res, plan) = offOnPlan(qj)
+      assert(res.nonEmpty, jt)
+      assert(plan.contains("__graft_band_bucket"), s"$jt not rewritten:\n$plan")
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"$jt:\n$plan")
+    }
   }
 
   test("rule is idempotent under repeated optimizer application") {
