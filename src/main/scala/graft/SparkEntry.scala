@@ -230,6 +230,28 @@ object SparkEntry {
       .cube(col("o_orderstatus"), date_format(col("o_orderdate"), "yyyy").as("yr"))
       .agg(count(lit(1)).as("n"))),
 
+    // explicit GROUPING SETS (arbitrary combos beyond rollup/cube's fixed
+    // lattices) — the two single-column subtotals without the cross term;
+    // status/priority are never null in the fixture, so subtotal-marker
+    // nulls are unambiguous
+    "q_agg_grouping_sets" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("SELECT o_orderstatus, o_orderpriority, count(*) AS n " +
+        "FROM orders_gs " +
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())")
+    }),
+
+    // full outer join with a join-side predicate: non-'P' orders and their
+    // customers null-extend on both sides — count(col) vs count(*) pins the
+    // null-extension exactly
+    "q_join_full" -> ((s, d) =>
+      t(s, d, "customer").join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey") && col("o_orderstatus") === "P",
+          "full_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("c_custkey")).as("n_cust"),
+          count(col("o_orderkey")).as("n_ord"))),
+
     // ---- windows / sort / top-k / set ops ----
     // batch sessionization via lag(): a new session starts after a >30-min
     // gap; the streaming twin is graft.streaming.StreamOps.sessionize
@@ -576,6 +598,13 @@ object SparkEntry {
       ("SELECT r_name, n_name, count(*) AS n FROM customer " +
         "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
         "GROUP BY ROLLUP(r_name, n_name)"),
+    "q_agg_grouping_sets" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders " +
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"),
+    "q_join_full" ->
+      ("SELECT count(*) AS n_rows, count(c_custkey) AS n_cust, " +
+        "count(o_orderkey) AS n_ord FROM customer c FULL OUTER JOIN orders o " +
+        "ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'P'"),
     "q_window_rank" ->
       ("SELECT o_custkey, o_orderkey, rnk FROM (SELECT o_custkey, o_orderkey, " +
         "cast(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) as bigint) AS rnk " +
