@@ -221,40 +221,78 @@ object Dedup {
     * exposed so tests can assert the O(log diameter) convergence claim on a
     * deterministic chain graph (rounds ~ k for a path of 2^k nodes). */
   def componentsWithRounds(pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Scoped for the iterative rounds (restored in the finally): let AQE
+    // coalesce each round's tiny post-shuffle label/edge partitions down to
+    // the ADVISORY SIZE instead of stopping at the core count
+    // (parallelismFirst=false is the Spark-docs-recommended production
+    // setting). Scale-adaptive by construction: partition counts derive from
+    // actual stage bytes — a 100 TB edge set still gets thousands of
+    // partitions, while harness-scale rounds stop paying 32 task launches
+    // per ~KB-sized stage across ~38 stage-jobs per evaluation.
+    val spark = pairs.sparkSession
+    val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val pfPrev = spark.conf.getOption(pfKey)
+    spark.conf.set(pfKey, "false")
+    try componentsLoop(pairs, maxIter)
+    finally pfPrev match {
+      case Some(v) => spark.conf.set(pfKey, v)
+      case None    => spark.conf.unset(pfKey)
+    }
+  }
+
+  private def componentsLoop(pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
+    // Undirect via explode, not union: both union branches scanned the
+    // `pairs` subtree (the expensive candidate-pair computation upstream)
+    // once EACH — explode emits (a→b, b→a) from ONE scan of pairs.
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     // Init with the first neighbor-min already folded in: comp0(v) =
     // min(v, min(neighbors(v))). Same single shuffle a distinct() would cost
     // (groupBy dedupes src), and it starts the loop one propagation step
     // ahead — one fewer ~fixed-cost round at harness scale, free at scale.
-    // Non-eager like the per-pair checkpoints: the first probe's aggregate
-    // is the action that fills the edges cache AND materializes the init —
-    // one job fewer at harness scale, identical lineage truncation.
+    //
+    // EAGER: this one serialized job is ALSO what materializes the edges
+    // cache, and it is the only consumer of the uncached subtree. The
+    // round-5 fully-lazy form let the first PROBE job fill the cache as a
+    // side effect — but that job read `edges` from several concurrent
+    // stages, and Spark's block cache does not block-wait: stages racing on
+    // the still-uncached partitions each recomputed the WHOLE upstream pairs
+    // subtree (the dominant cost), which is exactly the 5.6→8.1s driver-
+    // bench regression and its 14–45s spread in BENCH_r05. One eager init
+    // job pins the pairs subtree to exactly one evaluation; every later job
+    // reads caches only.
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("doc_id"), least(col("src"), col("mn")).as("comp"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
 
-    // One logical round over (doc_id, comp, changed): 1) neighbor-min
-    // propagation, 2) pointer jump comp_{t+1}(v) = comp_t(comp_t(v)) against
-    // the round's own input labels (labels only ever decrease, so the jump
-    // can only lower comp; least() guards). The carried `changed` flag ORs
-    // across rounds so a probe after N rounds sees any change in any of them.
+    // One round over (doc_id, comp, changed): comp'(v) =
+    // min(comp(v), min_{u∈N(v)} comp(u), comp(comp(v))) — neighbor-min
+    // propagation AND the pointer jump in ONE join+aggregate, by unioning
+    // the real edges with per-node JUMP edges v→comp(v) (every comp value is
+    // itself a node id — induction from the init — so the jump lookup always
+    // resolves). Labels only ever decrease; least() guards. Same fixpoint as
+    // the previous two-join (propagate-then-jump) form — at fixpoint comp is
+    // edge-constant and jump-stable, i.e. the component minimum — and the
+    // doubling term comp(comp(v)) still halves label chains per round, so
+    // convergence stays O(log diameter) (OpsSpec's 2^k-chain bound holds).
+    // One join fewer per round = ~2 fewer AQE stage-jobs per round, which is
+    // the actual cost at harness scale and free at 100 TB. The carried
+    // `changed` flag ORs across rounds so a probe after N rounds sees any
+    // change in any of them.
     def round(cur: DataFrame): DataFrame = {
-      val nbrMin = edges.join(cur, edges("dst") === cur("doc_id"))
+      val jump = cur.select(col("doc_id").as("src"), col("comp").as("dst"))
+      val aux = edges.select(col("src"), col("dst")).union(jump)
+      val nbrMin = aux.join(cur, aux("dst") === cur("doc_id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
-      val step = cur.join(nbrMin, cur("doc_id") === nbrMin("src"), "left")
-        .select(col("doc_id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+      cur.join(nbrMin, cur("doc_id") === nbrMin("src"), "left")
+        .select(cur("doc_id"),
+          least(cur("comp"), coalesce(col("nbr_comp"), cur("comp"))).as("comp"),
           (col("changed") ||
-            coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("changed"))
-      val parent = cur.select(col("doc_id").as("p_id"), col("comp").as("p_comp"))
-      step.as("s").join(parent.as("p"), col("s.comp") === col("p.p_id"), "left")
-        .select(col("s.doc_id").as("doc_id"),
-          least(col("s.comp"), coalesce(col("p.p_comp"), col("s.comp"))).as("comp"),
-          (col("s.changed") ||
-            coalesce(col("p.p_comp"), col("s.comp")) < col("s.comp")).as("changed"))
+            coalesce(col("nbr_comp"), cur("comp")) < cur("comp")).as("changed"))
     }
 
     var converged = false
@@ -270,7 +308,13 @@ object Dedup {
       // convergence-count aggregate below is the action that computes (and
       // thereby checkpoints) the pair, so each pair costs exactly ONE job
       // instead of an eager-checkpoint job plus a separate isEmpty probe.
+      // r1 is referenced THREE times by the second round (join left input,
+      // neighbor-min input, jump parent) — checkpoint it non-eagerly so the
+      // probe job computes it once and the other references read the cache
+      // (all r1 inputs are themselves cached, so a rare duplicate compute
+      // before the cache lands is a tiny cached join, not the pairs subtree).
       val r1 = round(labels.select(col("doc_id"), col("comp"), lit(false).as("changed")))
+        .localCheckpoint(eager = false)
       val pair = round(r1.select(col("doc_id"), col("comp"), lit(false).as("changed")))
         .localCheckpoint(eager = false)
       val nChanged = pair.agg(count(when(col("changed"), 1)).as("c"))

@@ -22,20 +22,24 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Dot product of two array<float|double> columns (deterministic left fold). */
+  /** Dot product of two array<float|double> columns (deterministic left
+    * fold): the native loop expression [[graft.plans.VecDotExpr]] —
+    * bit-identical to the previous aggregate(zip_with(...)) HOF formulation
+    * (same products, same left-to-right IEEE addition order from 0.0, same
+    * NULL semantics; VecDotExpr scaladoc + OpsSpec fuzz pin it) but
+    * JIT-compilable: array HOFs are CodegenFallback, which made every
+    * per-pair cosine in the join hot paths interpreted (~20µs/pair at 64
+    * dims — measured ~6x on q_dedup_embed at sf0.1). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0), (s, x) => s + x)
+    graft.plans.GraftExtensions.vecDot(a, b)
 
   /** L2 norm of an array<float|double> column. Precompute this ONCE PER ROW
     * before a pairwise join: cosine of a pair is then dot/(normA*normB) with
     * bit-identical value (same sqrt of the same fold), but the per-pair work
     * drops from three array folds to one — the dominant cost of every
-    * pairwise-scoring op here. */
-  def norm(v: Column): Column = {
-    val vd = asDouble(v)
-    sqrt(aggregate(transform(vd, x => x * x), lit(0.0), (s, x) => s + x))
-  }
+    * pairwise-scoring op here. sqrt(dot(v,v)) IS the previous HOF fold:
+    * products x*x in index order from 0.0. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Brute-force top-k: for each query row, rank all candidates by cosine
     * (desc, candidate id tie-break). queries should be small (broadcast). */
@@ -87,12 +91,14 @@ object Similarity {
     // driver and embedded as a literal array per plane: the per-row work is
     // then a pure zip_with/aggregate dot product, not dims×planes hash
     // evaluations per row (measured ~6x on q_dedup_embed at sf0.1).
+    // vec_dot (native loop codegen, not zip_with/aggregate HOFs, which are
+    // interpreted CodegenFallback): same products in the same left-to-right
+    // addition order as the previous HOF form, so the dot — and therefore
+    // the bucket — is bit-identical (the w[d] literals are unchanged).
     val signBits = (0 until planes).map { p =>
       val weights = (0 until dims).map(d => planeWeight(d, p, mode)).toArray
-      val dot = aggregate(
-        zip_with(asDouble(vec), lit(weights), (x, w) => x * w),
-        lit(0.0), (s, x) => s + x)
-      when(dot >= 0, shiftleft(lit(1L), p).cast("long")).otherwise(lit(0L))
+      val dotP = dot(vec, lit(weights))
+      when(dotP >= 0, shiftleft(lit(1L), p).cast("long")).otherwise(lit(0L))
     }
     signBits.reduce((a: Column, b: Column) => a + b)
   }

@@ -74,11 +74,17 @@ object TextStats {
                    mode: HashMode = HashMode.XxHash): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val txt = col(textCol)
-    // Shape note: the k-gram hashes are one flat HOF over the text column
-    // (O(n) per row), then EXPLODED so the sliding-window minimum runs as a
-    // frame window function. Nesting array_min(slice(grams,...)) inside a
-    // lambda re-inlines the gram computation per element after
-    // CollapseProject — O(n^2) per row, measured 537s vs ~1s on sf0.1.
+    // Shape note: gram POSITIONS are exploded first (posexplode of a cheap
+    // int sequence), and the k-gram hash is computed per exploded row in the
+    // following projection — substr+hash are plain codegen expressions there,
+    // inside the same whole-stage-codegen span as the Generate, so the text
+    // column never crosses a shuffle and nothing is interpreted. (The
+    // previous form hashed inside a transform() lambda over the sequence —
+    // array HOFs are CodegenFallback, so every gram paid interpreted
+    // evaluation; same values, ~3x slower at sf0.1.) Nesting
+    // array_min(slice(grams,...)) inside a lambda is worse still —
+    // CollapseProject re-inlines the gram computation per element, O(n^2)
+    // per row, measured 537s vs ~1s on sf0.1.
     val nGrams = length(txt) - (k - 1)
     def gramHash(i: Column): Column = mode match {
       case HashMode.PortableMd5 => Portable.md5h60(txt.substr(i, lit(k)))
@@ -86,10 +92,11 @@ object TextStats {
     }
     val grams = docs
       .filter(nGrams >= 1) // guard: sequence(a, b) DESCENDS when a > b
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol).as("doc_id"), txt,
         greatest(nGrams - (window - 1), lit(1)).as("nkeep"), // known pre-explode
-        posexplode(transform(sequence(lit(1), nGrams), i => gramHash(i)))
-          .as(Seq("pos", "h")))
+        posexplode(sequence(lit(1), nGrams)).as(Seq("pos", "i")))
+      .select(col("doc_id"), col("nkeep"), col("pos"),
+        gramHash(col("i")).as("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, window - 1)
     val nWinOk = grams

@@ -79,6 +79,14 @@ object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => U
     SplitSentencesExpr(args.head)
   }
 
+  private val vecDotInfo = new ExpressionInfo(
+    classOf[VecDotExpr].getName, "vec_dot")
+
+  private val vecDotBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, "vec_dot(a, b) takes exactly two arguments")
+    VecDotExpr(args(0), args(1))
+  }
+
   private val tokenizeLowerInfo = new ExpressionInfo(
     classOf[TokenizeLowerExpr].getName, "tokenize_lower")
 
@@ -93,6 +101,7 @@ object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => U
     ext.injectFunction((FunctionIdentifier("triples_agg"), triplesAggInfo, triplesAggBuilder))
     ext.injectFunction((FunctionIdentifier("split_sentences"), splitSentencesInfo, splitSentencesBuilder))
     ext.injectFunction((FunctionIdentifier("tokenize_lower"), tokenizeLowerInfo, tokenizeLowerBuilder))
+    ext.injectFunction((FunctionIdentifier("vec_dot"), vecDotInfo, vecDotBuilder))
     ext.injectOptimizerRule(_ => BandJoinRule)
   }
 
@@ -108,6 +117,8 @@ object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => U
       "split_sentences", splitSentencesBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tokenize_lower", tokenizeLowerBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", vecDotBuilder, "built-in")
   }
 
   /** Column-API handle (registers into the active session on first use). */
@@ -133,6 +144,12 @@ object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => U
   def splitSentences(text: Column): Column = {
     SparkSession.active.synchronized(register(SparkSession.active))
     call_function("split_sentences", text)
+  }
+
+  /** Column-API handle for the native left-fold vector dot product. */
+  def vecDot(a: Column, b: Column): Column = {
+    SparkSession.active.synchronized(register(SparkSession.active))
+    call_function("vec_dot", a, b)
   }
 
   /** Column-API handle for the native lower+tokenize+filter composite. */
