@@ -91,11 +91,20 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
   }
 
-  /** Candidate near-dup pairs from LSH buckets (doc_a < doc_b, deduped). */
+  /** Candidate near-dup pairs from LSH buckets (doc_a < doc_b, deduped).
+    *
+    * The self-join is HINTED sort-merge: both sides then shuffle on the
+    * identical (band, band_hash) keys and ReusedExchange evaluates the whole
+    * upstream signature pipeline ONCE (the planner's broadcast choice at
+    * small scale rebuilt it per side — the signature aggregation is the
+    * dominant cost). At 100 TB a band-table self-join is far beyond any
+    * broadcast threshold, so sort-merge on the band keys is what the planner
+    * would pick there anyway — the hint only removes the small-scale
+    * duplicate-subtree trap. */
   def minhashPairs(bandTable: DataFrame): DataFrame = {
     val a = bandTable.as("a")
     val b = bandTable.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
+    a.hint("merge").join(b, col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -128,8 +137,28 @@ object Dedup {
         toks0.join(ok, Seq("block", "shingle"), "left_semi")
       case None => toks0
     }
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = toks.as("a").join(toks.as("b"),
+    // |A| per doc. Uncapped: computed DIRECTLY as size(shingleSet) on the
+    // base docs — one narrow projection, no explode, no groupBy exchange.
+    // Identical to counting the exploded rows: explode emits exactly
+    // size(set) rows per doc, and docs that explode to zero rows (empty/null
+    // text) can never appear in `inter`, so their extra sz rows are dropped
+    // by the inner join below. This matters because `sizes` is evaluated
+    // TWICE in the physical plan (one broadcast per pair side) and the
+    // exploded form re-ran the whole scan+explode+aggregate subtree each
+    // time — with it, the tokenize-explode ran 4x per query (2 join sides +
+    // 2 sizes). Capped: sizes must count the df-filtered universe, so it
+    // keeps the exploded form.
+    val sizes = dfMax match {
+      case Some(_) => toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      case None => docs.select(col(idCol).as("doc_id"),
+        size(shingleSet(col(textCol), shingleN)).cast("long").as("sz"))
+    }
+    // merge-hinted for the same reason as minhashPairs: identical shuffle
+    // exchanges on (shingle, block) on both sides → ReusedExchange evaluates
+    // the tokenize-explode (and, in capped mode, the df semi-join) once
+    // instead of once per side; at 100 TB an inverted-index self-join is
+    // sort-merge territory anyway.
+    val inter = toks.as("a").hint("merge").join(toks.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.block") === col("b.block") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -283,17 +312,7 @@ object Dedup {
     // the actual cost at harness scale and free at 100 TB. The carried
     // `changed` flag ORs across rounds so a probe after N rounds sees any
     // change in any of them.
-    def round(cur: DataFrame): DataFrame = {
-      val jump = cur.select(col("doc_id").as("src"), col("comp").as("dst"))
-      val aux = edges.select(col("src"), col("dst")).union(jump)
-      val nbrMin = aux.join(cur, aux("dst") === cur("doc_id"))
-        .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
-      cur.join(nbrMin, cur("doc_id") === nbrMin("src"), "left")
-        .select(cur("doc_id"),
-          least(cur("comp"), coalesce(col("nbr_comp"), cur("comp"))).as("comp"),
-          (col("changed") ||
-            coalesce(col("nbr_comp"), cur("comp")) < cur("comp")).as("changed"))
-    }
+    def round(cur: DataFrame): DataFrame = roundStep(edges, cur)
 
     var converged = false
     var i = 0
@@ -331,6 +350,35 @@ object Dedup {
         s"components: no convergence after $maxIter pointer-doubling rounds " +
           "(covers diameter 2^" + maxIter + ") — refusing to return partial labels")
     (labels, i)
+  }
+
+  /** One propagation round (see the comment at the call site in
+    * componentsLoop). Package-private so the plan-audit tooling can dump a
+    * round's physical plan without running the loop. */
+  private[graft] def roundStep(edges: DataFrame, cur: DataFrame): DataFrame = {
+    val jump = cur.select(col("doc_id").as("src"), col("comp").as("dst"))
+    val aux = edges.select(col("src"), col("dst")).union(jump)
+    val nbrMin = aux.join(cur, aux("dst") === cur("doc_id"))
+      .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
+    cur.join(nbrMin, cur("doc_id") === nbrMin("src"), "left")
+      .select(cur("doc_id"),
+        least(cur("comp"), coalesce(col("nbr_comp"), cur("comp"))).as("comp"),
+        (col("changed") ||
+          coalesce(col("nbr_comp"), cur("comp")) < cur("comp")).as("changed"))
+  }
+
+  /** Lazy single-round plan over `pairs` for plan audits (no persist, no
+    * checkpoint, no action — explain-able without running the loop). */
+  private[graft] def auditRoundPlan(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val init = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("doc_id"), least(col("src"), col("mn")).as("comp"),
+        lit(false).as("changed"))
+    roundStep(edges, init)
   }
 
   // ---- DuckDB oracle generators (exact replays of the PortableMd5 mode;

@@ -51,20 +51,48 @@ object Multimodal {
       (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
       (b(0) == 'B' && b(1) == 'M'))
 
+  /** Pixel-count cap before any decode allocation: a crafted/corrupt header
+    * declaring huge dimensions must not make ImageIO allocate w*h pixels on
+    * an executor (untrusted-corpus OOM). Dimensions are read from the
+    * ImageReader HEADER first; over-cap payloads take the byte-histogram
+    * fallback. Conf-tunable via spark.graft.multimodal.maxPixels. */
+  val MaxPixelsDefault: Long = 64L * 1024 * 1024
+
   /** The per-item decoder. Total: decode failures (truncated/corrupt image
     * bytes) degrade to the byte-level fallback, never throw. The sha256 hex
     * digest is the externally-checkable submetric (DuckDB computes the same
     * sha256, so q_media_features carries an exact oracle on real decode-path
     * output); decoded dimensions are checked against planted fixture metadata
     * by MultimodalDecodeSpec. */
-  def decodeOne(id: Long, payload: Array[Byte]): MediaFeature = {
+  def decodeOne(id: Long, payload: Array[Byte]): MediaFeature =
+    decodeOne(id, payload, MaxPixelsDefault)
+
+  def decodeOne(id: Long, payload: Array[Byte], maxPixels: Long): MediaFeature = {
     val bytes = if (payload == null) Array.emptyByteArray else payload
     val digest = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
     val sha = digest.map(b => f"${b & 0xff}%02x").mkString
     val img =
       if (!looksLikeImage(bytes)) null
-      else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Exception => null } // corrupt stream -> fallback
+      else try {
+        // header-first: never hand the stream to a full decode before the
+        // declared dimensions pass the pixel cap
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis, true, true)
+              val w = r.getWidth(0)
+              val h = r.getHeight(0)
+              if (w <= 0 || h <= 0 || w.toLong * h.toLong > maxPixels) null
+              else r.read(0)
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => null } // corrupt stream -> fallback
     val hist = new Array[Double](16)
     if (img != null) {
       val w = img.getWidth; val h = img.getHeight
@@ -80,7 +108,7 @@ object Multimodal {
         }
         y += 1
       }
-      val n = (w * h).toDouble
+      val n = (w.toLong * h.toLong).toDouble // long math: w*h can pass 2^31
       var b = 0
       while (b < 16) { hist(b) /= n; b += 1 }
       MediaFeature(id, bytes.length.toLong, sha, Some(w), Some(h), hist)
@@ -99,11 +127,13 @@ object Multimodal {
   def decodeBatch(spark: SparkSession, media: DataFrame, batchSize: Int = 64): Dataset[MediaFeature] = {
     implicit val enc = Encoders.product[MediaFeature]
     val pairEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    val maxPixels = spark.conf.get("spark.graft.multimodal.maxPixels",
+      MaxPixelsDefault.toString).toLong
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])](pairEnc)
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           // per-batch decoder context would be initialized here
-          batch.iterator.map { case (id, bytes) => decodeOne(id, bytes) }
+          batch.iterator.map { case (id, bytes) => decodeOne(id, bytes, maxPixels) }
         }
       }
   }

@@ -34,9 +34,15 @@ object Portable {
   /** 2^30 — the base is folded into 30 bits so A*base stays under 2^60. */
   final val Base30 = 1073741824L
 
-  /** 60-bit md5-derived hash of a string/binary column (non-negative). */
-  def md5h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** 60-bit md5-derived hash of a string/binary column (non-negative).
+    * Since round 6 this is the native fused expression
+    * [[graft.plans.Md5H60Expr]] — bit-identical to the composite
+    * `conv(substring(md5(c), 1, 15), 16, 10)::long` (the first 15 hex chars
+    * of the digest ARE its first 60 bits; Md5H60Spec fuzz-pins it) but
+    * without the per-row MessageDigest allocation, 32-char hex encode,
+    * substring copy, and string re-parse — the overhead that dominated the
+    * hash-per-character winnowing path and hash-per-token signature paths. */
+  def md5h60(c: Column): Column = graft.plans.GraftExtensions.md5h60(c)
 
   /** Multiplier of permutation p (Knuth constant folded mod P30; never 0 for
     * any practical p since P30 is prime and p+1 < P30). */

@@ -72,38 +72,23 @@ object TextStats {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 8, window: Int = 4,
                    mode: HashMode = HashMode.XxHash): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val txt = col(textCol)
-    // Shape note: gram POSITIONS are exploded first (posexplode of a cheap
-    // int sequence), and the k-gram hash is computed per exploded row in the
-    // following projection — substr+hash are plain codegen expressions there,
-    // inside the same whole-stage-codegen span as the Generate, so the text
-    // column never crosses a shuffle and nothing is interpreted. (The
-    // previous form hashed inside a transform() lambda over the sequence —
-    // array HOFs are CodegenFallback, so every gram paid interpreted
-    // evaluation; same values, ~3x slower at sf0.1.) Nesting
-    // array_min(slice(grams,...)) inside a lambda is worse still —
-    // CollapseProject re-inlines the gram computation per element, O(n^2)
-    // per row, measured 537s vs ~1s on sf0.1.
+    // Shape note (round 6): the whole per-doc fingerprint is ONE native
+    // single-pass expression (graft.plans.WinnowFpExpr) — winnowing is
+    // per-document-local, so the previous posexplode + frame-window +
+    // collect_set formulation paid an ~8x row inflation and a doc_id
+    // shuffle at ANY scale for work that never needed to leave its input
+    // partition. Zero exchanges now; value-identical (WinnowFpSpec pins
+    // both hash modes against the old formulation, and the q_fingerprint
+    // DuckDB oracle is unchanged). The nGrams filter below matches the old
+    // pre-explode guard; the size filter is the old post-aggregation filter
+    // (vacuous for nGrams >= 1, kept for exact shape parity).
     val nGrams = length(txt) - (k - 1)
-    def gramHash(i: Column): Column = mode match {
-      case HashMode.PortableMd5 => Portable.md5h60(txt.substr(i, lit(k)))
-      case HashMode.XxHash      => xxhash64(txt.substr(i, lit(k)))
-    }
-    val grams = docs
-      .filter(nGrams >= 1) // guard: sequence(a, b) DESCENDS when a > b
-      .select(col(idCol).as("doc_id"), txt,
-        greatest(nGrams - (window - 1), lit(1)).as("nkeep"), // known pre-explode
-        posexplode(sequence(lit(1), nGrams)).as(Seq("pos", "i")))
-      .select(col("doc_id"), col("nkeep"), col("pos"),
-        gramHash(col("i")).as("h"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, window - 1)
-    val nWinOk = grams
-      .withColumn("winmin", min(col("h")).over(w))
-      .filter(col("pos") < col("nkeep")) // drop ragged tail frames
-    nWinOk.groupBy(col("doc_id"))
-      .agg(array_sort(collect_set(col("winmin"))).as("fingerprint"))
+    docs
+      .filter(nGrams >= 1)
+      .select(col(idCol).as("doc_id"),
+        graft.plans.GraftExtensions.winnowFp(txt, k, window,
+          mode == HashMode.PortableMd5).as("fingerprint"))
       .filter(size(col("fingerprint")) > 0)
   }
 

@@ -87,6 +87,24 @@ object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => U
     VecDotExpr(args(0), args(1))
   }
 
+  private val md5h60Info = new ExpressionInfo(
+    classOf[Md5H60Expr].getName, "md5h60")
+
+  private val md5h60Builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, "md5h60(x) takes exactly one argument")
+    Md5H60Expr(args.head)
+  }
+
+  private val winnowFpInfo = new ExpressionInfo(
+    classOf[WinnowFpExpr].getName, "winnow_fp")
+
+  private val winnowFpBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 4,
+      "winnow_fp(text, k, window, portable) takes exactly four arguments")
+    WinnowFpExpr(args(0), args(1).eval().asInstanceOf[Int],
+      args(2).eval().asInstanceOf[Int], args(3).eval().asInstanceOf[Boolean])
+  }
+
   private val tokenizeLowerInfo = new ExpressionInfo(
     classOf[TokenizeLowerExpr].getName, "tokenize_lower")
 
@@ -102,6 +120,8 @@ object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => U
     ext.injectFunction((FunctionIdentifier("split_sentences"), splitSentencesInfo, splitSentencesBuilder))
     ext.injectFunction((FunctionIdentifier("tokenize_lower"), tokenizeLowerInfo, tokenizeLowerBuilder))
     ext.injectFunction((FunctionIdentifier("vec_dot"), vecDotInfo, vecDotBuilder))
+    ext.injectFunction((FunctionIdentifier("md5h60"), md5h60Info, md5h60Builder))
+    ext.injectFunction((FunctionIdentifier("winnow_fp"), winnowFpInfo, winnowFpBuilder))
     ext.injectOptimizerRule(_ => BandJoinRule)
   }
 
@@ -119,6 +139,10 @@ object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => U
       "tokenize_lower", tokenizeLowerBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", vecDotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5h60", md5h60Builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fp", winnowFpBuilder, "built-in")
   }
 
   /** Column-API handle (registers into the active session on first use). */
@@ -144,6 +168,20 @@ object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => U
   def splitSentences(text: Column): Column = {
     SparkSession.active.synchronized(register(SparkSession.active))
     call_function("split_sentences", text)
+  }
+
+  /** Column-API handle for the native single-pass winnowing fingerprint. */
+  def winnowFp(text: Column, k: Int, window: Int, portable: Boolean): Column = {
+    SparkSession.active.synchronized(register(SparkSession.active))
+    call_function("winnow_fp", text, org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(window),
+      org.apache.spark.sql.functions.lit(portable))
+  }
+
+  /** Column-API handle for the native fused 60-bit portable md5 hash. */
+  def md5h60(c: Column): Column = {
+    SparkSession.active.synchronized(register(SparkSession.active))
+    call_function("md5h60", c)
   }
 
   /** Column-API handle for the native left-fold vector dot product. */

@@ -34,6 +34,25 @@ final class TokenBounds {
   var a: Array[Int] = new Array[Int](512)
 }
 
+/** Thread-guarded handle to the per-thread [[TokenBounds]] scratch, for
+  * codegen'd expressions: the generated class caches ONE handle, and get()
+  * re-fetches the underlying ThreadLocal only when the calling thread
+  * changes (same guard RelationsGenExpr carries) — so an instance
+  * constructed on one thread but driven from another (e.g. Python-UDF
+  * writer threads consuming a partition iterator) can never share another
+  * thread's scratch and race on its boundary array. Steady-state cost per
+  * call is one Thread.currentThread().getId compare, far below the
+  * per-call ThreadLocal map probe this construction avoids. */
+final class TokenBoundsHandle {
+  private var tid: Long = -1L
+  private var tb: TokenBounds = _
+  def get(): TokenBounds = {
+    val t = Thread.currentThread().getId
+    if (t != tid) { tb = TokenizeRuntime.threadBounds(); tid = t }
+    tb
+  }
+}
+
 object TokenizeRuntime {
 
   private def isSentWsB(b: Int): Boolean =
@@ -218,12 +237,11 @@ case class SplitSentencesExpr(child: Expression) extends TokenizeLikeExpr {
   override def nullSafeEval(input: Any): Any =
     TokenizeRuntime.sentences(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // per-task-instance scratch handle: one ThreadLocal fetch per task
-    // instead of one per sentence (generated classes are constructed on
-    // their task's thread)
-    val h = ctx.addMutableState("graft.plans.TokenBounds", "tokBounds",
-      v => s"$v = graft.plans.TokenizeRuntime.threadBounds();")
-    defineCodeGen(ctx, ev, c => s"graft.plans.TokenizeRuntime.sentences($c, $h)")
+    // per-task-instance THREAD-GUARDED scratch handle: the underlying
+    // ThreadLocal is probed only on thread change, not per sentence
+    val h = ctx.addMutableState("graft.plans.TokenBoundsHandle", "tokBounds",
+      v => s"$v = new graft.plans.TokenBoundsHandle();")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TokenizeRuntime.sentences($c, $h.get())")
   }
   override protected def withNewChildInternal(newChild: Expression): SplitSentencesExpr =
     copy(child = newChild)
@@ -236,9 +254,9 @@ case class TokenizeLowerExpr(child: Expression) extends TokenizeLikeExpr {
   override def nullSafeEval(input: Any): Any =
     TokenizeRuntime.tokensLower(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val h = ctx.addMutableState("graft.plans.TokenBounds", "tokBounds",
-      v => s"$v = graft.plans.TokenizeRuntime.threadBounds();")
-    defineCodeGen(ctx, ev, c => s"graft.plans.TokenizeRuntime.tokensLower($c, $h)")
+    val h = ctx.addMutableState("graft.plans.TokenBoundsHandle", "tokBounds",
+      v => s"$v = new graft.plans.TokenBoundsHandle();")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TokenizeRuntime.tokensLower($c, $h.get())")
   }
   override protected def withNewChildInternal(newChild: Expression): TokenizeLowerExpr =
     copy(child = newChild)

@@ -56,4 +56,31 @@ class MultimodalDecodeSpec extends AnyFunSuite with SharedSpark {
     val f3 = Multimodal.decodeOne(7L, null)
     assert(f3.n_bytes == 0 && f3.width.isEmpty)
   }
+
+  test("header-declared huge dimensions fall back BEFORE any pixel allocation") {
+    // Take a valid planted PNG and patch its IHDR to declare 1e9 x 1e9
+    // pixels, re-fixing the IHDR CRC so the reader parses the header cleanly
+    // and reports the huge dimensions — the pixel-count cap (not a CRC or
+    // decode error) must route it to the byte-histogram fallback.
+    val (w, h, px) = Gen.mediaPlan(9L)
+    val png = Gen.pngBytes(w, h, px).clone()
+    def putInt(off: Int, v: Int): Unit = {
+      png(off) = (v >>> 24).toByte; png(off + 1) = (v >>> 16).toByte
+      png(off + 2) = (v >>> 8).toByte; png(off + 3) = v.toByte
+    }
+    // layout: 8-byte sig, 4-byte len, "IHDR", 13 data bytes, 4-byte CRC
+    putInt(16, 1000000000) // width
+    putInt(20, 1000000000) // height
+    val crc = new java.util.zip.CRC32
+    crc.update(png, 12, 4 + 13) // over "IHDR" + data
+    putInt(29, crc.getValue.toInt)
+    val f = Multimodal.decodeOne(9L, png)
+    assert(f.width.isEmpty && f.height.isEmpty,
+      s"cap must reject 1e18 declared pixels, got ${f.width}x${f.height}")
+    assert(f.n_bytes == png.length && f.content_sha256.nonEmpty)
+    // a generous cap admits the same payload's real decode attempt path
+    // (the patched stream then fails decode and still falls back safely)
+    val g = Multimodal.decodeOne(9L, png, maxPixels = Long.MaxValue)
+    assert(g.width.isEmpty || g.width.contains(1000000000))
+  }
 }
