@@ -9,16 +9,13 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Tiny per-language character-trigram profiles (hand-pinned marker n-grams;
-    * a deterministic heuristic, not a trained model — documented limitation).
-    * Score = non-overlapping marker occurrences per language; argmax with
-    * 'und' fallback. */
-  private val Profiles: Map[String, Seq[String]] = Map(
-    "en" -> Seq(" th", "the", "he ", " an", "and", "ing", " of", "ion", " to", "ed "),
-    "de" -> Seq(" de", "der", "ie ", "ein", "sch", "ich", "nd ", "die", "und", "cht"),
-    "es" -> Seq(" de", "de ", " la", "la ", "os ", "ión", "ent", " el", "que", "ado"),
-    "fr" -> Seq(" de", "de ", " le", "es ", "le ", "ent", " la", "que", "ion", "eur"),
-    "zh" -> Seq("的", "是", "在", "了", "和", "有", "中", "人", "国", "一"))
+  /** Tiny per-language character-trigram profiles — single-sourced from
+    * [[graft.plans.LangIdRuntime.Profiles]] since round 6 so the native
+    * expression, the (spec-pinned) Catalyst formulation, and the DuckDB
+    * oracle SQL can never drift. Score = non-overlapping marker occurrences
+    * per language; argmax with 'und' fallback. */
+  private val Profiles: Map[String, Seq[String]] =
+    graft.plans.LangIdRuntime.Profiles.toMap
 
   /** Non-overlapping occurrence count of literal `g` in `t` — pure Catalyst
     * (length-difference after replace), identical in DuckDB. The difference
@@ -26,21 +23,16 @@ object TextStats {
   private def occurrences(t: Column, g: String): Column =
     ((length(t) - length(replace(t, lit(g), lit("")))) / g.length).cast("long")
 
-  /** Language ID, UDF-free: marker-gram hit counts per language summed as
-    * built-in expressions, argmax via array_sort over (-hits, lang) structs
-    * (ties -> language name order; < 2 hits -> "und"). Whole-stage codegen
-    * end-to-end, and exactly replayable in DuckDB (the q_lang_id oracle). */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
-    val entries = Profiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
-      val hits = grams.map(g => occurrences(padded, g)).reduce(_ + _)
-      struct((-hits).as("nh"), lit(lang).as("lang"))
-    }
-    val best = element_at(array_sort(array(entries: _*)), 1)
+  /** Language ID: the native single-pass scan [[graft.plans.LangIdExpr]]
+    * (round 6) — value-identical to the replace-based marker-gram
+    * formulation (LangIdSpec pins it; the q_lang_id oracle is unchanged and
+    * generated from the same profile constants), but lowercases once and
+    * counts all 50 markers over one buffer instead of evaluating fifty
+    * replace() copies of the text per document (ties -> language name
+    * order; < 2 hits or null text -> "und"). */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      when(col(textCol).isNull || (-best.getField("nh")) < 2, lit("und"))
-        .otherwise(best.getField("lang")).as("lang_pred"))
-  }
+      graft.plans.GraftExtensions.langId(col(textCol)).as("lang_pred"))
 
   /** Quality stats, all integer-exact (oracle-friendly): chars, tokens,
     * non-space chars, longest token, alpha-char count. */

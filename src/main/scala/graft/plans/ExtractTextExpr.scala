@@ -105,6 +105,14 @@ object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => U
       args(2).eval().asInstanceOf[Int], args(3).eval().asInstanceOf[Boolean])
   }
 
+  private val langIdInfo = new ExpressionInfo(
+    classOf[LangIdExpr].getName, "lang_id")
+
+  private val langIdBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, "lang_id(text) takes exactly one argument")
+    LangIdExpr(args.head)
+  }
+
   private val tokenizeLowerInfo = new ExpressionInfo(
     classOf[TokenizeLowerExpr].getName, "tokenize_lower")
 
@@ -122,6 +130,7 @@ object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => U
     ext.injectFunction((FunctionIdentifier("vec_dot"), vecDotInfo, vecDotBuilder))
     ext.injectFunction((FunctionIdentifier("md5h60"), md5h60Info, md5h60Builder))
     ext.injectFunction((FunctionIdentifier("winnow_fp"), winnowFpInfo, winnowFpBuilder))
+    ext.injectFunction((FunctionIdentifier("lang_id"), langIdInfo, langIdBuilder))
     ext.injectOptimizerRule(_ => BandJoinRule)
   }
 
@@ -143,6 +152,8 @@ object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => U
       "md5h60", md5h60Builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fp", winnowFpBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lang_id", langIdBuilder, "built-in")
   }
 
   /** Column-API handle (registers into the active session on first use). */
@@ -168,6 +179,12 @@ object GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => U
   def splitSentences(text: Column): Column = {
     SparkSession.active.synchronized(register(SparkSession.active))
     call_function("split_sentences", text)
+  }
+
+  /** Column-API handle for the native single-pass language-ID scan. */
+  def langId(text: Column): Column = {
+    SparkSession.active.synchronized(register(SparkSession.active))
+    call_function("lang_id", text)
   }
 
   /** Column-API handle for the native single-pass winnowing fingerprint. */
