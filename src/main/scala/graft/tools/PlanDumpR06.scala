@@ -16,7 +16,7 @@ object PlanDumpR06 {
     "q_dedup_embed", "q_embed_topk", "q_embed_lsh_topk", "q_embed_ivf_topk",
     "q_dedup_components", "q_dedup_jaccard", "q_dedup_jaccard_capped",
     "q_dedup_minhash", "q_dedup_minhash_pairs", "q_dedup_simhash",
-    "q_fingerprint", "q_sample_hash")
+    "q_fingerprint", "q_sample_hash", "q_lang_id")
 
   def main(args: Array[String]): Unit = {
     val suffix = if (args.nonEmpty) args(0) else "after"
