@@ -223,10 +223,11 @@ object Dedup {
     * keep-one-per-cluster rule is then `doc_id == comp`.
     *
     * Min-label propagation accelerated by POINTER DOUBLING: each round every
-    * node first takes the min of its own and its neighbors' labels (one
-    * edges⋈labels join + hash agg), then jumps to its label's label
-    * (one labels⋈labels join) — label chains halve every round, so
-    * convergence is O(log diameter) rounds instead of O(diameter) (the
+    * node takes comp'(v) = min(comp(v), min of neighbors' labels, its
+    * label's label) — since round 6 all in ONE join + hash agg, by unioning
+    * the real edges with per-node jump edges v→comp(v). The comp(comp(v))
+    * term halves label chains every round, so convergence is O(log diameter)
+    * rounds instead of O(diameter) (the
     * classic large-star/small-star trick, e.g. Kiveris et al., "Connected
     * Components in MapReduce and Beyond"). localCheckpoint between rounds
     * truncates the lineage so the plan does not grow with iterations.
